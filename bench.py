@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""End-to-end inference benchmark at 512x512: IMHN forward (flip-TTA) +
+on-device peak finding / limb scoring / greedy connection selection + host
+person assembly.
+
+Baseline: the reference pipeline runs 7.3 FPS end-to-end (Python + C++
+pafprocess on a 2080 Ti + Xeon, README.md:37,125) and 38.5 FPS network-only
+(test_inference_speed.py:117-120). Target (BASELINE.md): >= 40 FPS e2e on
+one v5e chip.
+
+Headline metric: serving throughput with batched dispatch (B images per
+device program) and a 2-deep host pipeline to overlap the host<->device
+link latency (this TPU sits behind a high-latency tunnel: each transfer
+costs ~25-40 ms regardless of size, so sequential single-image round trips
+measure the link, not the chip). Single-image latency is reported on stderr.
+
+Without trained weights a fresh network yields no peaks, which would make
+the host-assembly stage trivially fast; to keep the number honest the
+per-frame time adds the host grouping cost measured on a realistic
+synthetic two-person scene.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import queue
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+
+import numpy as np
+
+BASELINE_E2E_FPS = 7.3
+BATCH = 8
+N_BATCHES = 12
+PIPELINE_DEPTH = 4
+
+
+def bench_host_grouping(config, iters: int = 50) -> float:
+    """Median host-assembly seconds per frame on a realistic synthetic scene."""
+    import jax.numpy as jnp
+
+    from improved_body_parts_tpu.ops import group
+    from improved_body_parts_tpu.ops.limbs import (
+        connections_to_numpy, score_connections, select_connections)
+    from improved_body_parts_tpu.ops.peaks import find_peaks
+    from test_postproc import make_two_person_scene
+
+    icfg = config.infer
+    paf, heat, _ = make_two_person_scene(H=128, W=128)
+    peaks = find_peaks(jnp.asarray(heat[:, :, :18]), thre=icfg.thre1,
+                       max_peaks=icfg.max_peaks, stride=config.stride)
+    cand = score_connections(jnp.asarray(paf), peaks.xy, peaks.score,
+                             peaks.valid, jnp.float32(512.0),
+                             mid_num=icfg.mid_num, stride=config.stride,
+                             thre2=icfg.thre2, connect_ration=icfg.connect_ration)
+    conns = select_connections(cand, peaks.valid)
+    connected = connections_to_numpy(conns, peaks)
+    cands = group.build_joint_candidates(np.asarray(peaks.xy),
+                                         np.asarray(peaks.score),
+                                         np.asarray(peaks.valid))
+    try:
+        from improved_body_parts_tpu.ops import group_cpp
+        grouper = lambda: group_cpp.find_humans(connected, cands.copy(), icfg)
+    except Exception:
+        grouper = lambda: group.find_humans(connected, cands.copy(), icfg)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        table, jc = grouper()
+        group.humans_to_keypoints(table, jc)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from improved_body_parts_tpu.configs import get_config
+    from improved_body_parts_tpu.infer.predict import Predictor
+    from improved_body_parts_tpu.models.imhn import create_model, init_model
+
+    config = get_config("Canonical")
+    model = create_model(config.model, dtype=jnp.bfloat16)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), 512, 512)
+    variables = {"params": params, "batch_stats": batch_stats}
+    predictor = Predictor(model, variables, config)
+
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 255, (BATCH, 512, 512, 3), np.uint8)
+              for _ in range(PIPELINE_DEPTH)]
+
+    # warmup / compile both paths
+    predictor.predict_batch(frames[0])
+    t0 = time.perf_counter()
+    predictor.predict_skeletons(frames[0][0])
+    single_latency = time.perf_counter() - t0  # cached program
+
+    grouping_s = bench_host_grouping(config)
+
+    # pipelined throughput: PIPELINE_DEPTH worker threads, each doing full
+    # batched round trips (h2d + compute + d2h + host grouping)
+    work_q = queue.Queue()
+    done_q = queue.Queue()
+    for i in range(N_BATCHES):
+        work_q.put(i)
+
+    def worker(slot):
+        while True:
+            try:
+                i = work_q.get_nowait()
+            except queue.Empty:
+                return
+            results = predictor.predict_batch(frames[slot])
+            done_q.put((i, len(results)))
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker, args=(s,))
+               for s in range(PIPELINE_DEPTH)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    n_frames = N_BATCHES * BATCH
+    # add the representative host-grouping cost for realistic (non-empty)
+    # scenes — overlapped pipelines hide it only partially, so charge it fully
+    per_frame = wall / n_frames + grouping_s
+    fps = 1.0 / per_frame
+
+    sys.stderr.write(
+        f"throughput: {n_frames} frames in {wall:.2f}s (batch={BATCH}, "
+        f"pipeline={PIPELINE_DEPTH}) + grouping {grouping_s*1e3:.2f} ms/frame "
+        f"-> {fps:.2f} FPS; single-image latency {single_latency*1e3:.1f} ms "
+        f"(platform: {jax.devices()[0].platform})\n")
+    print(json.dumps({
+        "metric": "e2e_fps_512_flipTTA",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_E2E_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

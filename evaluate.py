@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""COCO keypoint evaluation (CLI-compatible successor of the reference
+evaluate.py:235-332).
+
+Iterates val2017 (or test-dev) person images, runs the TPU pipeline per
+image, converts CMU-order keypoints to COCO order, writes
+``results/<name>_results.json`` and, when pycocotools is installed, runs
+COCOeval. Without annotations, ``--image-dir`` evaluates every image in a
+directory and just writes the detections json (plus an FPS meter).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+NUM_COCO_KEYPOINTS = 17
+
+
+class AverageMeter:
+    """Running average speed meter (reference evaluate.py:286-302)."""
+
+    def __init__(self):
+        self.val = self.sum = self.count = self.avg = 0.0
+
+    def update(self, val, n=1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count
+
+
+def to_coco_keypoints(kps: np.ndarray) -> np.ndarray:
+    """(18,3) CMU-order -> (17,3) COCO-order. reference: evaluate.py:40,169."""
+    from improved_body_parts_tpu.configs import ORDER_COCO
+    return kps[ORDER_COCO, :]
+
+
+def append_result(image_id, kps_list, scores, all_outputs):
+    """reference: evaluate.py:182-232 (refactor-path branch)."""
+    for kps, score in zip(kps_list, scores):
+        coco_kps = to_coco_keypoints(kps)
+        out = np.zeros((NUM_COCO_KEYPOINTS, 3), np.float64)
+        out[:, :2] = coco_kps[:, :2]
+        out[:, 2] = (coco_kps[:, 2] > 0).astype(np.float64)
+        all_outputs.append({
+            "image_id": int(image_id),
+            "category_id": 1,
+            "keypoints": [float(x) for x in out.reshape(-1)],
+            "score": float(score),
+        })
+
+
+def main():
+    parser = argparse.ArgumentParser(description="PoseNet evaluation (TPU-native)")
+    parser.add_argument("--checkpoint", "-p", default="", help="orbax dir or torch .pth")
+    parser.add_argument("--config", default="Canonical")
+    parser.add_argument("--coco-dir", default="data/dataset/coco",
+                        help="COCO root (annotations/ + val2017/)")
+    parser.add_argument("--subset", default="val2017", choices=["val2017", "test2017"])
+    parser.add_argument("--image-dir", default="", help="plain image directory mode")
+    parser.add_argument("--max-images", type=int, default=-1)
+    parser.add_argument("--dump-name", default="tpu_imhn")
+    parser.add_argument("--run_cpp", action="store_true")
+    parser.add_argument("--show_eval_speed", action="store_true")
+    args = parser.parse_args()
+
+    import cv2
+
+    from demo_image import build_predictor
+    predictor = build_predictor(args.checkpoint, args.config, "bicubic")
+
+    # gather image list -------------------------------------------------
+    coco_gt = None
+    if args.image_dir:
+        names = sorted(os.listdir(args.image_dir))
+        images = [(i, os.path.join(args.image_dir, n)) for i, n in enumerate(names)
+                  if n.lower().endswith((".jpg", ".jpeg", ".png"))]
+    else:
+        if args.subset == "val2017":
+            ann_file = os.path.join(args.coco_dir, "annotations",
+                                    "person_keypoints_val2017.json")
+        else:
+            ann_file = os.path.join(args.coco_dir, "annotations",
+                                    "image_info_test-dev2017.json")
+        try:
+            from pycocotools.coco import COCO
+        except ImportError:
+            print("pycocotools not installed and no --image-dir given; "
+                  "install it or pass --image-dir", file=sys.stderr)
+            return 2
+        if not os.path.exists(ann_file):
+            print(f"annotations not found: {ann_file}", file=sys.stderr)
+            return 2
+        coco_gt = COCO(ann_file)
+        cat_ids = coco_gt.getCatIds(catNms=["person"])
+        img_ids = coco_gt.getImgIds(catIds=cat_ids)
+        images = [(i, os.path.join(args.coco_dir, args.subset,
+                                   coco_gt.imgs[i]["file_name"]))
+                  for i in img_ids]
+
+    if args.max_images > 0:
+        images = images[:args.max_images]
+    print(f"evaluating {len(images)} images")
+
+    meter = AverageMeter()
+    all_outputs = []
+    for n, (image_id, path) in enumerate(images):
+        img = cv2.imread(path)
+        if img is None:
+            print(f"skip unreadable {path}")
+            continue
+        t0 = time.time()
+        kps, scores, _ = predictor.predict_skeletons(
+            img, use_cpp=True if args.run_cpp else None)
+        meter.update(time.time() - t0)
+        append_result(image_id, kps, scores, all_outputs)
+        if args.show_eval_speed and n % 50 == 0:
+            print(f"[{n}/{len(images)}] {1/meter.val:.2f} ({1/meter.avg:.2f}) FPS")
+
+    results_file = f"results/{args.subset}_{args.dump_name}_results.json"
+    os.makedirs(os.path.dirname(results_file), exist_ok=True)
+    with open(results_file, "w") as f:
+        json.dump(all_outputs, f)
+    print(f"wrote {len(all_outputs)} detections to {results_file} "
+          f"(avg {1/meter.avg:.2f} FPS)" if meter.count else f"wrote {results_file}")
+
+    if coco_gt is not None and all_outputs:
+        from pycocotools.cocoeval import COCOeval
+        coco_dt = coco_gt.loadRes(results_file)
+        ev = COCOeval(coco_gt, coco_dt, "keypoints")
+        ev.params.imgIds = [i for i, _ in images]
+        ev.evaluate()
+        ev.accumulate()
+        ev.summarize()
+        return 0
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

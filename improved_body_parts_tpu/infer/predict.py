@@ -1,0 +1,259 @@
+"""End-to-end TPU inference pipeline: image -> skeletons.
+
+Re-designed from the reference inference stack (utils/parse_skeletons.py:28-321,
+demo_image.py:80-243) as a single jitted device program per input shape:
+
+  * [orig, h-flip] run as ONE batch of 2 per image (parse_skeletons.py:221-225);
+  * flip-ensemble averaging with the channel permutations on device
+    (parse_skeletons.py:242-248);
+  * peak finding + limb scoring + greedy connection selection on device
+    (ops/peaks.py, ops/limbs.py) at stride-4 resolution — the reference's
+    x4 cubic full-map upsample (parse_skeletons.py:250-263) is replaced by
+    sampling the stride map directly at the equivalent half-pixel coords;
+  * ONE packed result tensor crosses to the host per frame (the TPU sits
+    behind a high-latency link: every transfer costs ~tens of ms, so the
+    design minimizes round trips — uint8 images up, one ~28 KB packed
+    buffer down; the full heat/paf maps never leave the device);
+  * the greedy person assembly runs on host (ops/group.py, or the C++
+    fast path ops/group_cpp.py).
+
+Static shapes: images are padded bottom/right with pad_value to shape buckets
+(multiples of ``bucket``), one XLA program per bucket — the TPU substitute
+for the reference's pad-to-64 dynamic shapes (utils/util.py:44-65).
+``predict_batch`` additionally processes B letterboxed images per dispatch
+for serving-style throughput.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from improved_body_parts_tpu.configs import (
+    CanonicalConfig, FLIP_CHANNEL_ORD, NUM_LAYERS, NUM_LIMBS, NUM_PARTS,
+    PAF_LAYERS,
+)
+from improved_body_parts_tpu.ops import group
+from improved_body_parts_tpu.ops.limbs import (
+    ConnectionCandidates, Connections, score_connections, select_connections,
+)
+from improved_body_parts_tpu.ops.peaks import PeakTable, find_peaks
+
+
+# ---------------------------------------------------------------------------
+# result packing: everything the host needs, in one float32 tensor
+# ---------------------------------------------------------------------------
+
+def packed_size(P: int) -> int:
+    return NUM_PARTS * P * 4 + NUM_LIMBS * P * 5
+
+
+def pack_results(peaks: PeakTable, conns: Connections) -> jnp.ndarray:
+    """Flatten peak + connection tables into one (packed_size,) float32."""
+    parts = [
+        peaks.xy.reshape(-1),                      # 18*P*2
+        peaks.score.reshape(-1),                   # 18*P
+        peaks.valid.astype(jnp.float32).reshape(-1),
+        conns.src_slot.astype(jnp.float32).reshape(-1),  # 30*P each
+        conns.dst_slot.astype(jnp.float32).reshape(-1),
+        conns.score.reshape(-1),
+        conns.limb_len.reshape(-1),
+        conns.valid.astype(jnp.float32).reshape(-1),
+    ]
+    return jnp.concatenate(parts)
+
+
+def unpack_results(buf: np.ndarray, P: int):
+    """Inverse of pack_results, on host numpy. Returns (peaks_np, conns_np)
+    as plain-numpy PeakTable/Connections."""
+    o = 0
+
+    def take(n, shape):
+        nonlocal o
+        out = buf[o:o + n].reshape(shape)
+        o += n
+        return out
+
+    xy = take(NUM_PARTS * P * 2, (NUM_PARTS, P, 2))
+    score = take(NUM_PARTS * P, (NUM_PARTS, P))
+    valid = take(NUM_PARTS * P, (NUM_PARTS, P)) > 0.5
+    src = take(NUM_LIMBS * P, (NUM_LIMBS, P)).astype(np.int32)
+    dst = take(NUM_LIMBS * P, (NUM_LIMBS, P)).astype(np.int32)
+    cscore = take(NUM_LIMBS * P, (NUM_LIMBS, P))
+    clen = take(NUM_LIMBS * P, (NUM_LIMBS, P))
+    cvalid = take(NUM_LIMBS * P, (NUM_LIMBS, P)) > 0.5
+    peaks = PeakTable(xy=xy, score=score, valid=valid, grid_yx=None)
+    conns = Connections(src_slot=src, dst_slot=dst, score=cscore,
+                        limb_len=clen, valid=cvalid)
+    return peaks, conns
+
+
+def connections_to_list(conns: Connections, P: int,
+                        limbs_conn) -> List[np.ndarray]:
+    """Device connection tables -> the reference list-of-(k,6) format
+    [src_peak_id, dst_peak_id, score, src_idx, dst_idx, limb_len] with
+    global peak id = joint_type * P + slot (for the host grouping stage)."""
+    out = []
+    for l, (fr, to) in enumerate(np.asarray(limbs_conn)):
+        m = np.asarray(conns.valid[l])
+        k = int(m.sum())
+        rows = np.zeros((k, 6), np.float64)
+        ss = np.asarray(conns.src_slot[l])[m]
+        ds = np.asarray(conns.dst_slot[l])[m]
+        rows[:, 0] = fr * P + ss
+        rows[:, 1] = to * P + ds
+        rows[:, 2] = np.asarray(conns.score[l])[m]
+        rows[:, 3] = ss
+        rows[:, 4] = ds
+        rows[:, 5] = np.asarray(conns.limb_len[l])[m]
+        out.append(rows)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# host-side preprocessing
+# ---------------------------------------------------------------------------
+
+def pad_image_to_bucket(img: np.ndarray, bucket: int = 64,
+                        pad_value: int = 128,
+                        max_hw: Tuple[int, int] = (2600, 3800)) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Pad bottom/right with pad_value up to the next multiple of ``bucket``.
+
+    Returns (padded uint8 image, (orig_h, orig_w)). Normalization to [0,1]
+    happens on device (uint8 upload is 4x cheaper over the link).
+    reference: utils/util.py:44-65 ``padRightDownCorner`` + size clamp
+    parse_skeletons.py:198-201.
+    """
+    h, w = img.shape[:2]
+    if h > max_hw[0] or w > max_hw[1]:
+        import cv2
+        scale = min(max_hw[0] / h, max_hw[1] / w)
+        img = cv2.resize(img, (0, 0), fx=scale, fy=scale,
+                         interpolation=cv2.INTER_CUBIC)
+        h, w = img.shape[:2]
+    ph = -(-h // bucket) * bucket
+    pw = -(-w // bucket) * bucket
+    out = np.full((ph, pw, 3), pad_value, dtype=np.uint8)
+    out[:h, :w] = img
+    return out, (h, w)
+
+
+class Predictor:
+    """Caches one compiled device program per padded input shape."""
+
+    def __init__(self, model, variables, config: CanonicalConfig = CanonicalConfig(),
+                 refine: str = "bicubic"):
+        self.model = model
+        self.variables = variables
+        self.config = config
+        self.refine = refine
+        self._compiled: Dict[Tuple, object] = {}
+
+    # -- device programs ----------------------------------------------------
+    def _postprocess(self, avg, img_h):
+        """avg: (h/4, w/4, 50) flip-averaged maps -> (packed, paf, heat)."""
+        cfg, icfg = self.config, self.config.infer
+        paf = avg[..., :PAF_LAYERS]
+        heat = avg[..., PAF_LAYERS:NUM_LAYERS]
+        peaks = find_peaks(heat[..., :NUM_PARTS], thre=icfg.thre1,
+                           max_peaks=icfg.max_peaks, stride=cfg.stride,
+                           refine=self.refine)
+        cand = score_connections(
+            paf, peaks.xy, peaks.score, peaks.valid, img_h,
+            mid_num=icfg.mid_num, stride=cfg.stride,
+            thre2=icfg.thre2, connect_ration=icfg.connect_ration)
+        conns = select_connections(cand, peaks.valid)
+        return pack_results(peaks, conns), paf, heat
+
+    def _flip_avg_maps(self, variables, imgs_u8):
+        """imgs_u8: (B, h, w, 3) uint8 -> (B, h/4, w/4, 50) flip-averaged."""
+        flip_ord = jnp.asarray(FLIP_CHANNEL_ORD)
+        imgs = imgs_u8.astype(jnp.float32) / 255.0
+        both = jnp.concatenate([imgs, imgs[:, :, ::-1, :]], axis=0)
+        outs = self.model.apply(variables, both, train=False)
+        out = outs[-1][0]                                  # (2B, h/4, w/4, 50)
+        B = imgs.shape[0]
+        orig, flip = out[:B], out[B:]
+        flip = flip[:, :, ::-1, :][:, :, :, flip_ord]
+        return (orig + flip) * 0.5
+
+    def _device_fn(self, h: int, w: int):
+        key = ("single", h, w)
+        if key not in self._compiled:
+            @jax.jit
+            def run(variables, img_u8, img_h):
+                avg = self._flip_avg_maps(variables, img_u8[None])[0]
+                return self._postprocess(avg, img_h)
+            self._compiled[key] = run
+        return self._compiled[key]
+
+    def _device_fn_batch(self, batch: int, h: int, w: int):
+        key = ("batch", batch, h, w)
+        if key not in self._compiled:
+            @jax.jit
+            def run(variables, imgs_u8, img_hs):
+                avgs = self._flip_avg_maps(variables, imgs_u8)
+                packed, _, _ = jax.vmap(self._postprocess)(avgs, img_hs)
+                return packed
+            self._compiled[key] = run
+        return self._compiled[key]
+
+    # -- host API ------------------------------------------------------------
+    def predict_maps(self, img: np.ndarray):
+        """Run the device program on a BGR uint8 image (any size).
+        Returns (packed_device, paf_device, heat_device, (orig_h, orig_w))."""
+        icfg = self.config.infer
+        padded, (orig_h, orig_w) = pad_image_to_bucket(
+            img, bucket=icfg.max_downsample, pad_value=icfg.pad_value,
+            max_hw=(icfg.img_max_h, icfg.img_max_w))
+        fn = self._device_fn(*padded.shape[:2])
+        packed, paf, heat = fn(self.variables, jnp.asarray(padded),
+                               jnp.float32(orig_h))
+        return packed, paf, heat, (orig_h, orig_w)
+
+    def _group(self, peaks_np: PeakTable, conns_np: Connections,
+               use_cpp: Optional[bool]):
+        P = self.config.infer.max_peaks
+        connected = connections_to_list(conns_np, P, self.config.limbs_conn)
+        cands = group.build_joint_candidates(
+            peaks_np.xy, peaks_np.score, peaks_np.valid)
+        if use_cpp is None or use_cpp:
+            try:
+                from improved_body_parts_tpu.ops import group_cpp
+                return group_cpp.find_humans(connected, cands, self.config.infer)
+            except Exception:
+                if use_cpp:
+                    raise
+        return group.find_humans(connected, cands, self.config.infer)
+
+    def predict_skeletons(self, img: np.ndarray, use_cpp: Optional[bool] = None):
+        """Full pipeline -> (keypoints (N,18,3), scores (N,), aux dict)."""
+        packed, paf, heat, (orig_h, orig_w) = self.predict_maps(img)
+        buf = np.asarray(packed)              # the single D2H fetch
+        peaks_np, conns_np = unpack_results(buf, self.config.infer.max_peaks)
+        table, cands = self._group(peaks_np, conns_np, use_cpp)
+        kps, scores = group.humans_to_keypoints(table, cands)
+        aux = dict(paf=paf, heat=heat, peaks=peaks_np, person_table=table,
+                   joint_candidates=cands, orig_hw=(orig_h, orig_w))
+        return kps, scores, aux
+
+    def predict_batch(self, imgs: np.ndarray, img_hs: Optional[np.ndarray] = None,
+                      use_cpp: Optional[bool] = None):
+        """Batched path: (B, H, W, 3) uint8, same shape, already letterboxed.
+        Returns a list of (keypoints, scores) per image."""
+        B, h, w = imgs.shape[:3]
+        if img_hs is None:
+            img_hs = np.full((B,), h, np.float32)
+        fn = self._device_fn_batch(B, h, w)
+        packed = fn(self.variables, jnp.asarray(imgs), jnp.asarray(img_hs))
+        bufs = np.asarray(packed)             # one fetch for the whole batch
+        out = []
+        P = self.config.infer.max_peaks
+        for b in range(B):
+            peaks_np, conns_np = unpack_results(bufs[b], P)
+            table, cands = self._group(peaks_np, conns_np, use_cpp)
+            out.append(group.humans_to_keypoints(table, cands))
+        return out

@@ -1,0 +1,288 @@
+"""TPU-native IMHN (Identity-Mapping Hourglass Network) in Flax.
+
+Re-designed from the reference architecture (models/posenet.py:50-144,
+models/layers_transposed.py:12-310) for TPU:
+
+  * NHWC layout end-to-end (XLA's native conv layout on TPU — the reference
+    permutes NHWC inputs to NCHW for cuDNN, models/posenet.py:92).
+  * bf16 compute policy with fp32 parameters and fp32 BatchNorm statistics
+    (replaces apex AMP O1 dynamic loss scaling, train_distributed.py:135-138 —
+    bf16 on TPU needs no loss scaling).
+  * Cross-replica (sync) BatchNorm via ``axis_name`` on the data mesh axis
+    (replaces apex ``convert_syncbn_model``, train_distributed.py:89-96).
+  * The 4-level hourglass recursion is unrolled at trace time (static Python
+    recursion -> one fused XLA graph; no dynamic control flow).
+
+Architecture parity map (all shapes NHWC):
+  Backbone   : 7x7/s2 conv(3->64) -> Residual(64->128) -> maxpool ->
+               Residual(128->128) -> 6 dilated 3x3 convs (d=3,3,4,4,5,5) ->
+               concat(128+128) = 256ch @ H/4      (layers_transposed.py:160-196)
+  Hourglass  : depth 4, widths 256/384/512/640/768, returns 5 scales
+               (layers_transposed.py:199-286)
+  Features   : per scale Conv3x3 -> Conv3x3 -> SE(r=16)   (posenet.py:25-47)
+  Heads      : per scale 1x1 conv -> 50ch                 (posenet.py:79)
+  Identity-mapping merges: per-scale merge_preds(pred) + merge_features(feat)
+               added to next stack's hourglass outputs; scale-0 cache also
+               added to the stack input                  (posenet.py:94-122)
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from improved_body_parts_tpu.configs import ModelConfig
+
+# Reference init: conv kernels ~ N(0, 0.001), SE linear ~ N(0, 0.01)
+# (models/posenet.py:124-144).
+conv_init = nn.initializers.normal(stddev=0.001)
+dense_init = nn.initializers.normal(stddev=0.01)
+
+LEAKY_SLOPE = 0.01
+
+
+def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
+
+
+class ConvBlock(nn.Module):
+    """conv -> [BN] -> [LeakyReLU]; bias only when BN is off.
+
+    reference: models/layers_transposed.py:90-157 (``Conv``/``DilatedConv``).
+    """
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    bn: bool = True
+    relu: bool = True
+    dilation: int = 1
+    dtype: Any = jnp.bfloat16
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.dilation * (self.kernel - 1) // 2
+        x = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=not self.bn,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=conv_init,
+            name="conv",
+        )(x)
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,            # torch momentum 0.1 == flax decay 0.9
+                epsilon=1e-5,
+                dtype=jnp.float32,       # keep BN math in fp32
+                axis_name=self.axis_name if train else None,
+                name="bn",
+            )(x)
+            x = x.astype(self.dtype)
+        if self.relu:
+            x = leaky_relu(x)
+        return x
+
+
+class Residual(nn.Module):
+    """Bottleneck residual: 1x1 -> 3x3 -> 1x1 with BN, LeakyReLU, identity skip.
+
+    reference: models/layers_transposed.py:12-48.
+    """
+    features: int
+    relu: bool = True
+    dtype: Any = jnp.bfloat16
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = self.features // 2
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        h = ConvBlock(mid, kernel=1, name="conv1", **kw)(x, train)
+        h = ConvBlock(mid, kernel=3, name="conv2", **kw)(h, train)
+        h = ConvBlock(self.features, kernel=1, relu=False, name="conv3", **kw)(h, train)
+        if x.shape[-1] != self.features:
+            x = ConvBlock(self.features, kernel=1, relu=False, name="skip", **kw)(x, train)
+        out = h + x
+        return leaky_relu(out) if self.relu else out
+
+
+class SELayer(nn.Module):
+    """Squeeze-and-excitation channel attention. reference: layers_transposed.py:289-310."""
+    reduction: int = 16
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # (N, C) global avg pool
+        y = nn.Dense(c // self.reduction, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=dense_init, name="fc1")(y.astype(self.dtype))
+        y = leaky_relu(y)
+        y = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=dense_init, name="fc2")(y)
+        y = jax.nn.sigmoid(y)
+        return x * y[:, None, None, :]
+
+
+def max_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+def upsample_nearest2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x nearest-neighbour upsample (reference: nn.Upsample mode='nearest')."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+class Backbone(nn.Module):
+    """Dilated stem producing ``out_dim`` channels @ stride 4.
+
+    At the default out_dim=256 this matches the reference widths exactly
+    (64 -> 128 -> 128 dilated x6 -> concat 256, layers_transposed.py:160-196);
+    smaller widths are used for fast tests.
+    """
+    out_dim: int = 256
+    dtype: Any = jnp.bfloat16
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        half = self.out_dim // 2
+        x = ConvBlock(self.out_dim // 4, kernel=7, stride=2, name="conv1", **kw)(x, train)
+        x = Residual(half, name="res1", **kw)(x, train)
+        x = max_pool2(x)
+        x = Residual(half, name="res2", **kw)(x, train)
+        h = x
+        for i, d in enumerate((3, 3, 4, 4, 5, 5)):
+            h = ConvBlock(half, kernel=3, dilation=d, name=f"dilated{i}", **kw)(h, train)
+        return jnp.concatenate([x, h], axis=-1)  # out_dim channels
+
+
+class Hourglass(nn.Module):
+    """Recursive 4-level hourglass returning 5 feature scales.
+
+    Output: [c@H, c+i@H/2, c+2i@H/4, c+3i@H/8, c+4i@H/16] where c=nfeat, i=increase.
+    reference: models/layers_transposed.py:199-286.
+    """
+    depth: int = 4
+    nfeat: int = 256
+    increase: int = 128
+    dtype: Any = jnp.bfloat16
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        down_feats: List[jnp.ndarray] = []
+
+        def level(d: int, h: jnp.ndarray) -> jnp.ndarray:
+            c = self.nfeat + self.increase * d
+            c_next = c + self.increase
+            up1 = Residual(c, name=f"d{d}_up1", **kw)(h, train)
+            low = max_pool2(h)
+            low = Residual(c_next, name=f"d{d}_low1", **kw)(low, train)
+            if d == self.depth - 1:
+                low2 = Residual(c_next, name=f"d{d}_inner", **kw)(low, train)
+            else:
+                low2 = level(d + 1, low)
+            down_feats.append(low2)  # innermost appended first
+            low3 = Residual(c, name=f"d{d}_low2", **kw)(low2, train)
+            up2 = upsample_nearest2(low3)
+            up2 = ConvBlock(c, kernel=3, name=f"d{d}_refine", **kw)(up2, train)
+            return up1 + up2
+
+        top = level(0, x)
+        # [top@H] + reversed(down_feats) = scales H, H/2, H/4, H/8, H/16
+        return [top] + down_feats[::-1]
+
+
+class Features(nn.Module):
+    """Per-scale regression trunk: Conv3x3 -> Conv3x3 -> SE. reference: posenet.py:25-47."""
+    inp_dim: int = 256
+    se_reduction: int = 16
+    dtype: Any = jnp.bfloat16
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, fms: Sequence[jnp.ndarray], train: bool = False):
+        assert len(fms) == 5
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        outs = []
+        for s, f in enumerate(fms):
+            h = ConvBlock(self.inp_dim, kernel=3, name=f"s{s}_conv1", **kw)(f, train)
+            h = ConvBlock(self.inp_dim, kernel=3, name=f"s{s}_conv2", **kw)(h, train)
+            h = SELayer(self.se_reduction, dtype=self.dtype, name=f"s{s}_se")(h)
+            outs.append(h)
+        return outs
+
+
+class PoseNet(nn.Module):
+    """4-stack IMHN. Input NHWC image in [0,1]; output [nstack][5] NHWC 50ch maps.
+
+    reference: models/posenet.py:50-122.
+    """
+    cfg: ModelConfig = ModelConfig()
+    dtype: Any = jnp.bfloat16
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, imgs: jnp.ndarray, train: bool = False):
+        cfg = self.cfg
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        x = Backbone(out_dim=cfg.inp_dim, name="pre", **kw)(imgs.astype(self.dtype), train)
+
+        preds: List[List[jnp.ndarray]] = []
+        feat_caches: List[Optional[jnp.ndarray]] = [None] * cfg.num_scales
+        for t in range(cfg.nstack):
+            hg_outs = Hourglass(depth=cfg.depth, nfeat=cfg.inp_dim,
+                                increase=cfg.increase, name=f"hg{t}", **kw)(x, train)
+            if t > 0:
+                hg_outs = [hg_outs[s] + feat_caches[s] for s in range(cfg.num_scales)]
+            feats = Features(inp_dim=cfg.inp_dim, se_reduction=cfg.se_reduction,
+                             name=f"features{t}", **kw)(hg_outs, train)
+            stack_preds: List[jnp.ndarray] = []
+            for s in range(cfg.num_scales):
+                pred = ConvBlock(cfg.oup_dim, kernel=1, bn=False, relu=False,
+                                 dtype=self.dtype, name=f"out{t}_s{s}")(feats[s], train)
+                stack_preds.append(pred)
+                if t != cfg.nstack - 1:
+                    c = cfg.inp_dim + s * cfg.increase
+                    cache = (
+                        ConvBlock(c, kernel=1, relu=False,
+                                  name=f"merge_pred{t}_s{s}", **kw)(pred, train)
+                        + ConvBlock(c, kernel=1, relu=False,
+                                    name=f"merge_feat{t}_s{s}", **kw)(feats[s], train)
+                    )
+                    if s == 0:
+                        x = x + cache
+                    feat_caches[s] = cache
+            preds.append(stack_preds)
+        # fp32 outputs for the loss / post-processing
+        return [[p.astype(jnp.float32) for p in stack] for stack in preds]
+
+
+def create_model(cfg: ModelConfig = ModelConfig(), dtype: Any = jnp.bfloat16,
+                 axis_name: Optional[str] = None) -> PoseNet:
+    return PoseNet(cfg=cfg, dtype=dtype, axis_name=axis_name)
+
+
+def init_model(model: PoseNet, rng: jax.Array, height: int = 512, width: int = 512):
+    """Initialize variables with a dummy batch; returns (params, batch_stats)."""
+    dummy = jnp.zeros((1, height, width, 3), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    return variables["params"], variables["batch_stats"]
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

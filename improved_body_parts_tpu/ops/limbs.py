@@ -1,0 +1,208 @@
+"""On-device limb scoring: line-integral over the limb heatmaps + greedy
+one-to-one candidate selection, as dense fixed-shape tensor ops.
+
+TPU-native replacement for the reference ``find_connections``
+(utils/parse_skeletons.py:324-410) and the candidate-scoring half of the C++
+``pafprocess`` extension (utils/pafprocess/pafprocess.cpp:52-130):
+
+  * all 30 limb types x P src-peaks x P dst-peaks are scored at once as a
+    (30, P, P) tensor — the reference's triple Python loop becomes one
+    batched bilinear-gather over the stride-4 limb heatmaps;
+  * the reference samples ``n = min(round(len)+1, 20)`` points on the
+    upsampled (x4 cubic) heatmap; we sample the stride-4 map bilinearly at
+    the same ``n`` linspace positions (slot-masked to a fixed 20) — exact
+    sample-count parity without materialising the upsampled map;
+  * greedy per-type selection ("accept best-scored pair whose endpoints are
+    free", parse_skeletons.py:390-408) is a vmapped ``lax.scan`` over the
+    score-sorted candidate list with used-endpoint bitmasks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from improved_body_parts_tpu.configs import LIMBS_CONN
+
+
+class ConnectionCandidates(NamedTuple):
+    """Dense candidate scores for every (limb_type, src_slot, dst_slot)."""
+    conn_score: jnp.ndarray  # (L, P, P) mean paf sample + length penalty
+    overall: jnp.ndarray     # (L, P, P) 0.5*conn + 0.25*src + 0.25*dst
+    limb_len: jnp.ndarray    # (L, P, P)
+    valid: jnp.ndarray       # (L, P, P) bool — passed criterion1 & criterion2
+
+
+class Connections(NamedTuple):
+    """Greedy-selected connections per limb type (fixed P slots each)."""
+    src_slot: jnp.ndarray    # (L, P) int32 — peak slot index of src joint
+    dst_slot: jnp.ndarray    # (L, P) int32
+    score: jnp.ndarray       # (L, P) float32 conn_score
+    limb_len: jnp.ndarray    # (L, P) float32
+    valid: jnp.ndarray       # (L, P) bool
+
+
+def bilinear_sample(map2d: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of a (H, W) map at float coords, clamped at borders."""
+    h, w = map2d.shape
+    x = jnp.clip(x, 0.0, w - 1.0)
+    y = jnp.clip(y, 0.0, h - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = x - x0
+    fy = y - y0
+    v00 = map2d[y0, x0]
+    v01 = map2d[y0, x1]
+    v10 = map2d[y1, x0]
+    v11 = map2d[y1, x1]
+    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy + v11 * fx * fy)
+
+
+@functools.partial(jax.jit, static_argnames=("mid_num", "stride"))
+def score_connections(paf: jnp.ndarray,
+                      peaks_xy: jnp.ndarray,
+                      peaks_score: jnp.ndarray,
+                      peaks_valid: jnp.ndarray,
+                      img_h: jnp.ndarray,
+                      *,
+                      mid_num: int = 20,
+                      stride: int = 4,
+                      thre2: float = 0.1,
+                      connect_ration: float = 0.8) -> ConnectionCandidates:
+    """Score all candidate limbs.
+
+    paf:         (h, w, L) stride-resolution limb heatmaps (L=30).
+    peaks_xy:    (K, P, 2) peak coords in padded-image pixels.
+    peaks_score: (K, P); peaks_valid: (K, P) bool.
+    img_h:       scalar — ORIGINAL image height (length-penalty prior,
+                 parse_skeletons.py:367).
+    """
+    limbs = jnp.asarray(LIMBS_CONN)                     # (L, 2)
+    src_xy = peaks_xy[limbs[:, 0]]                      # (L, P, 2)
+    dst_xy = peaks_xy[limbs[:, 1]]
+    src_score = peaks_score[limbs[:, 0]]                # (L, P)
+    dst_score = peaks_score[limbs[:, 1]]
+    src_valid = peaks_valid[limbs[:, 0]]
+    dst_valid = peaks_valid[limbs[:, 1]]
+
+    diff = dst_xy[:, None, :, :] - src_xy[:, :, None, :]     # (L, P, P, 2)
+    limb_len = jnp.sqrt(jnp.sum(jnp.square(diff), axis=-1))  # (L, P, P)
+
+    # n = min(round(len)+1, mid_num) sample points (parse_skeletons.py:353)
+    n_samples = jnp.minimum(jnp.round(limb_len) + 1, mid_num).astype(jnp.int32)
+    n_samples = jnp.maximum(n_samples, 2)
+    slot = jnp.arange(mid_num, dtype=jnp.float32)            # (S,)
+    t = slot / jnp.maximum(n_samples[..., None] - 1, 1).astype(jnp.float32)
+    sample_mask = slot < n_samples[..., None]                # (L, P, P, S)
+    t = jnp.minimum(t, 1.0)
+
+    pts = src_xy[:, :, None, None, :] + t[..., None] * diff[:, :, :, None, :]
+    # map padded-image coords to stride-map coords (half-pixel convention,
+    # the inverse of the reference's x4 cubic upsample)
+    fx = (pts[..., 0] + 0.5) / stride - 0.5
+    fy = (pts[..., 1] + 0.5) / stride - 0.5
+
+    paf_cl = jnp.moveaxis(paf, -1, 0)                        # (L, h, w)
+    samples = jax.vmap(bilinear_sample)(
+        paf_cl, fx.reshape(fx.shape[0], -1), fy.reshape(fy.shape[0], -1))
+    samples = samples.reshape(fx.shape)                      # (L, P, P, S)
+
+    n_f = n_samples.astype(jnp.float32)
+    mean_paf = jnp.sum(jnp.where(sample_mask, samples, 0.0), axis=-1) / n_f
+    conn_score = mean_paf + jnp.minimum(0.5 * img_h / jnp.maximum(limb_len, 1e-6) - 1.0, 0.0)
+
+    passing = jnp.sum((samples > thre2) & sample_mask, axis=-1)
+    criterion1 = passing > n_f * connect_ration              # parse_skeletons.py:373-374
+    criterion2 = conn_score > 0.0
+    valid = (criterion1 & criterion2 & (limb_len > 0.0)
+             & src_valid[:, :, None] & dst_valid[:, None, :])
+
+    overall = 0.5 * conn_score + 0.25 * src_score[:, :, None] + 0.25 * dst_score[:, None, :]
+    return ConnectionCandidates(conn_score=conn_score, overall=overall,
+                                limb_len=limb_len, valid=valid)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def select_connections(cand: ConnectionCandidates,
+                       peaks_valid: jnp.ndarray) -> Connections:
+    """Greedy one-to-one selection per limb type, by descending overall score.
+
+    Accept a candidate iff neither its src slot nor dst slot is already used;
+    stop after min(#src, #dst) acceptances (parse_skeletons.py:390-408).
+    """
+    L, P, _ = cand.overall.shape
+    limbs = jnp.asarray(LIMBS_CONN)
+    n_src = jnp.sum(peaks_valid[limbs[:, 0]], axis=1)        # (L,)
+    n_dst = jnp.sum(peaks_valid[limbs[:, 1]], axis=1)
+    max_conn = jnp.minimum(n_src, n_dst)                     # (L,)
+
+    flat_overall = jnp.where(cand.valid, cand.overall, -jnp.inf).reshape(L, P * P)
+    order = jnp.argsort(-flat_overall, axis=1)               # (L, P*P)
+
+    def per_type(order_row, valid_row, score_row, len_row, cap):
+        def body(state, idx):
+            used_src, used_dst, n_acc, out_src, out_dst, out_score, out_len, out_valid = state
+            i = idx // P
+            j = idx % P
+            ok = (valid_row[idx] & ~used_src[i] & ~used_dst[j] & (n_acc < cap))
+            slot_id = n_acc
+            out_src = jnp.where(ok, out_src.at[slot_id].set(i), out_src)
+            out_dst = jnp.where(ok, out_dst.at[slot_id].set(j), out_dst)
+            out_score = jnp.where(ok, out_score.at[slot_id].set(score_row[idx]), out_score)
+            out_len = jnp.where(ok, out_len.at[slot_id].set(len_row[idx]), out_len)
+            out_valid = jnp.where(ok, out_valid.at[slot_id].set(True), out_valid)
+            used_src = used_src.at[i].set(used_src[i] | ok)
+            used_dst = used_dst.at[j].set(used_dst[j] | ok)
+            n_acc = n_acc + ok.astype(jnp.int32)
+            return (used_src, used_dst, n_acc, out_src, out_dst,
+                    out_score, out_len, out_valid), None
+
+        init = (jnp.zeros(P, bool), jnp.zeros(P, bool), jnp.int32(0),
+                jnp.zeros(P, jnp.int32), jnp.zeros(P, jnp.int32),
+                jnp.zeros(P, jnp.float32), jnp.zeros(P, jnp.float32),
+                jnp.zeros(P, bool))
+        (us, ud, n, osrc, odst, oscore, olen, ovalid), _ = lax.scan(
+            body, init, order_row)
+        return osrc, odst, oscore, olen, ovalid
+
+    valid_flat = cand.valid.reshape(L, P * P)
+    score_flat = cand.conn_score.reshape(L, P * P)
+    len_flat = cand.limb_len.reshape(L, P * P)
+    osrc, odst, oscore, olen, ovalid = jax.vmap(per_type)(
+        order, valid_flat, score_flat, len_flat, max_conn)
+    return Connections(src_slot=osrc, dst_slot=odst, score=oscore,
+                       limb_len=olen, valid=ovalid)
+
+
+def connections_to_numpy(conns: Connections, peaks, limbs_conn=LIMBS_CONN):
+    """Convert device connection tables to the reference list-of-arrays format
+    [(k,6): src_peak_id, dst_peak_id, score, src_idx, dst_idx, limb_len] with
+    global peak id = joint_type * P + slot, for the host grouping stage."""
+    P = peaks.score.shape[1]
+    src_slot = np.asarray(conns.src_slot)
+    dst_slot = np.asarray(conns.dst_slot)
+    score = np.asarray(conns.score)
+    limb_len = np.asarray(conns.limb_len)
+    valid = np.asarray(conns.valid)
+    out = []
+    for l, (fr, to) in enumerate(np.asarray(limbs_conn)):
+        m = valid[l]
+        k = int(m.sum())
+        rows = np.zeros((k, 6), np.float64)
+        ss, ds = src_slot[l][m], dst_slot[l][m]
+        rows[:, 0] = fr * P + ss
+        rows[:, 1] = to * P + ds
+        rows[:, 2] = score[l][m]
+        rows[:, 3] = ss
+        rows[:, 4] = ds
+        rows[:, 5] = limb_len[l][m]
+        out.append(rows)
+    return out

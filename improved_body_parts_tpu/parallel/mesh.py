@@ -1,0 +1,53 @@
+"""Device-mesh utilities: the TPU-native replacement for the reference's
+process-level distributed scaffolding.
+
+The reference builds data parallelism out of NCCL process groups, apex DDP
+with delayed all-reduce, SyncBN module conversion and hand-written metric
+all-reduces (train_distributed.py:77-145, 442-452). On TPU none of that is
+hand-written: we lay out a ``jax.sharding.Mesh`` over the chips, shard the
+batch on the ``data`` axis (optionally the image height on a ``spatial``
+axis for giant inputs — SURVEY.md §5), and jit the train step once — XLA
+inserts the gradient all-reduce over ICI and computes BatchNorm statistics
+over the *global* batch automatically (strictly stronger than SyncBN).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              spatial: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Create a (data, spatial) mesh. spatial=1 gives pure data parallelism."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    assert n_devices % spatial == 0, (n_devices, spatial)
+    grid = devices.reshape(n_devices // spatial, spatial)
+    return Mesh(grid, axis_names=(DATA_AXIS, SPATIAL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, shard_spatial: bool = False) -> NamedSharding:
+    """NHWC batch: shard N on data (and optionally H on spatial)."""
+    spec = P(DATA_AXIS, SPATIAL_AXIS if shard_spatial else None)
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, shard_spatial: bool = False):
+    """Device-put a pytree of host arrays with the batch axis sharded."""
+    sh = batch_sharding(mesh, shard_spatial)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

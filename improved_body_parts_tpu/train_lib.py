@@ -1,0 +1,160 @@
+"""Training library: one jitted SPMD train step over a device mesh.
+
+Re-designed from the reference trainers (train.py, train_parallel.py,
+train_distributed.py, train_distributed_SWA.py) as a single functional step:
+
+  * SGD(momentum=0.9, weight_decay=1e-4) exactly as torch SGD applies it —
+    decay added to the gradient before the momentum trace
+    (train_distributed.py:122-123);
+  * epoch-step LR schedule with 3-epoch linear warmup: lr = base * data_axis
+    * 0.2^(epoch//15), switching to a 5-epoch step after epoch 78
+    (train_distributed.py:396-414 ``adjust_learning_rate``);
+  * abnormal-loss batch dropping — the reference skips optimizer.step()
+    when loss > 2e5 (train_distributed.py:273-275); here a ``lax`` select
+    keeps params/opt_state/batch_stats unchanged for that step, in-graph;
+  * optional gradient-norm clipping (the reference exposes --max_grad_norm
+    but keeps the call commented out, train_distributed.py:35-37,280);
+  * SWA: a running parameter average updated at epoch boundaries
+    (train_distributed_SWA.py:403-424) kept inside the train state;
+  * under jit with a sharded batch, gradient all-reduce and global-batch
+    BatchNorm statistics are inserted by XLA (replaces apex DDP + SyncBN).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from improved_body_parts_tpu.configs import CanonicalConfig, TrainConfig
+from improved_body_parts_tpu.losses import multi_task_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray           # int32 global step
+    swa_params: Any             # running average (zeros-like if unused)
+    swa_count: jnp.ndarray      # int32 number of SWA accumulations
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """torch-SGD-equivalent chain; LR is applied separately per step."""
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.trace(decay=cfg.momentum, nesterov=False),
+    )
+
+
+def create_train_state(params, batch_stats, cfg: TrainConfig) -> TrainState:
+    tx = make_optimizer(cfg)
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        swa_params=jax.tree_util.tree_map(jnp.zeros_like, params) if cfg.swa else None,
+        swa_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def learning_rate(cfg: TrainConfig, epoch: int, step_in_epoch: int,
+                  len_epoch: int, data_parallel: int = 1,
+                  use_warmup: bool = True) -> float:
+    """Host-side LR schedule. reference: train_distributed.py:396-414."""
+    factor = epoch // cfg.lr_step_epochs
+    if epoch >= cfg.lr_late_epoch:
+        factor = (epoch - cfg.lr_late_epoch) // cfg.lr_late_step_epochs
+    lr = cfg.learning_rate * data_parallel * (cfg.lr_step_factor ** factor)
+    if use_warmup and epoch < cfg.warmup_epochs:
+        lr = lr * float(1 + step_in_epoch + epoch * len_epoch) / (
+            cfg.warmup_epochs * len_epoch)
+    return lr
+
+
+def cyclic_learning_rate(cfg: TrainConfig, epoch: int, start_epoch: int) -> float:
+    """SWA cyclic LR. reference: train_distributed.py:417-423."""
+    e = epoch - start_epoch
+    f = cfg.swa_freq_epochs
+    return cfg.swa_lr_max - (cfg.swa_lr_max - cfg.swa_lr_min) / (f - 1) * (e - e // f * f)
+
+
+def make_train_step(model, cfg: CanonicalConfig, use_focal: bool = True,
+                    donate: bool = True):
+    """Build the jitted train step: (state, imgs, mask, heat, lr) -> (state, metrics).
+
+    imgs: (B, H, W, 3); mask: (B, H/4, W/4, 1); heat: (B, H/4, W/4, 50).
+    """
+    tcfg = cfg.train
+    tx = make_optimizer(tcfg)
+
+    def loss_fn(params, batch_stats, imgs, heat, mask):
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs, train=True, mutable=["batch_stats"])
+        loss = multi_task_loss(outs, heat, mask, tcfg, use_focal=use_focal)
+        return loss, mutated["batch_stats"]
+
+    def step_fn(state: TrainState, imgs, mask, heat, lr):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, imgs, heat, mask)
+
+        gnorm = optax.global_norm(grads)
+        if tcfg.max_grad_norm > 0:
+            scale = jnp.minimum(1.0, tcfg.max_grad_norm / (gnorm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p - lr * u, state.params, updates)
+
+        # abnormal-loss batch drop: keep everything unchanged on explosion
+        ok = jnp.isfinite(loss) & (loss <= tcfg.abnormal_loss_thresh)
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(ok, x, y), a, b)
+        new_params = sel(new_params, state.params)
+        new_opt = sel(new_opt, state.opt_state)
+        new_bs = sel(new_bs, state.batch_stats)
+
+        new_state = state._replace(params=new_params, batch_stats=new_bs,
+                                   opt_state=new_opt, step=state.step + 1)
+        metrics = {"loss": loss, "grad_norm": gnorm,
+                   "skipped": (~ok).astype(jnp.float32)}
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model, cfg: CanonicalConfig, use_focal: bool = True):
+    """Validation loss step (reference test(), train_distributed.py:341-393)."""
+    tcfg = cfg.train
+
+    @jax.jit
+    def eval_fn(params, batch_stats, imgs, mask, heat):
+        outs = model.apply({"params": params, "batch_stats": batch_stats},
+                           imgs, train=False)
+        return multi_task_loss(outs, heat, mask, tcfg, use_focal=use_focal)
+
+    return eval_fn
+
+
+@jax.jit
+def swa_update(state: TrainState) -> TrainState:
+    """Accumulate the running parameter average.
+
+    reference: torchcontrib SWA optimizer.update_swa()
+    (train_distributed_SWA.py:403-424)."""
+    n = state.swa_count.astype(jnp.float32)
+    new_swa = jax.tree_util.tree_map(
+        lambda avg, p: (avg * n + p) / (n + 1.0), state.swa_params, state.params)
+    return state._replace(swa_params=new_swa, swa_count=state.swa_count + 1)
+
+
+def swa_swap(state: TrainState) -> TrainState:
+    """Swap current params with the SWA average (swap_swa_sgd equivalent)."""
+    return state._replace(params=state.swa_params, swa_params=state.params)

@@ -1,0 +1,240 @@
+"""Post-processing parity tests: device peak finding / limb scoring / greedy
+selection vs straightforward numpy oracles, and end-to-end grouping on a
+synthetic two-person scene (the reference's pickle-diff methodology,
+demo_image.py:64-76, recast as unit tests)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from improved_body_parts_tpu.configs import (
+    HEAT_START, LIMBS_CONN, NUM_LAYERS, NUM_PARTS, PAF_LAYERS, InferenceConfig,
+)
+from improved_body_parts_tpu.ops import group
+from improved_body_parts_tpu.ops.limbs import (
+    bilinear_sample, connections_to_numpy, score_connections, select_connections,
+)
+from improved_body_parts_tpu.ops.peaks import PeakTable, find_peaks, heatmap_nms
+
+
+# ---------------------------------------------------------------------------
+# synthetic scene helpers
+# ---------------------------------------------------------------------------
+
+def gaussian_blob(shape, cx, cy, sigma=2.0):
+    yy, xx = np.mgrid[0:shape[0], 0:shape[1]].astype(np.float32)
+    return np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sigma ** 2))
+
+
+def limb_band(shape, x1, y1, x2, y2, sigma=1.75):
+    """Perpendicular-distance gaussian to the segment (stride-map coords)."""
+    yy, xx = np.mgrid[0:shape[0], 0:shape[1]].astype(np.float32)
+    dx, dy = x2 - x1, y2 - y1
+    norm = np.sqrt(dx * dx + dy * dy) + 1e-6
+    # distance to the infinite line
+    dist = np.abs(dx * (y1 - yy) - (x1 - xx) * dy) / norm
+    # restrict to the segment neighborhood
+    t = ((xx - x1) * dx + (yy - y1) * dy) / (norm * norm)
+    mask = (t > -0.2) & (t < 1.2)
+    return np.exp(-dist ** 2 / (2 * sigma ** 2)) * mask
+
+
+def make_two_person_scene(H=64, W=64, stride=4):
+    """Two synthetic people, each with a subset of joints, on stride maps.
+
+    Returns (paf (H,W,30), heat (H,W,20), gt: dict joint->list of (x,y) image coords).
+    """
+    heat = np.zeros((H, W, NUM_PARTS + 2), np.float32)
+    paf = np.zeros((H, W, PAF_LAYERS), np.float32)
+    # joints used: nose(0), neck(1), Rsho(2), Lsho(5), Rhip(8), Lhip(11)
+    people = [
+        {0: (20, 10), 1: (20, 16), 2: (14, 17), 5: (26, 17), 8: (16, 30), 11: (24, 30)},
+        {0: (44, 12), 1: (44, 18), 2: (38, 19), 5: (50, 19), 8: (40, 32), 11: (48, 32)},
+    ]
+    for person in people:
+        for j, (gx, gy) in person.items():
+            heat[:, :, j] = np.maximum(heat[:, :, j], gaussian_blob((H, W), gx, gy))
+    for li, (fr, to) in enumerate(LIMBS_CONN):
+        for person in people:
+            if int(fr) in person and int(to) in person:
+                x1, y1 = person[int(fr)]
+                x2, y2 = person[int(to)]
+                paf[:, :, li] = np.maximum(paf[:, :, li],
+                                           limb_band((H, W), x1, y1, x2, y2))
+    # gt in image coords (stride-map cell -> image pixel via half-pixel)
+    gt = [{j: ((x + 0.5) * stride - 0.5, (y + 0.5) * stride - 0.5)
+           for j, (x, y) in p.items()} for p in people]
+    return paf, heat, gt
+
+
+# ---------------------------------------------------------------------------
+# peaks
+# ---------------------------------------------------------------------------
+
+def test_heatmap_nms_keeps_only_local_maxima():
+    m = np.zeros((16, 16), np.float32)
+    m[4, 4] = 0.9
+    m[4, 5] = 0.5   # neighbour of a higher peak -> suppressed
+    m[10, 12] = 0.3
+    m[0, 0] = 0.05  # below threshold
+    out = np.asarray(heatmap_nms(jnp.asarray(m), 0.1))
+    assert out[4, 4] == pytest.approx(0.9)
+    assert out[4, 5] == 0.0
+    assert out[10, 12] == pytest.approx(0.3)
+    assert out[0, 0] == 0.0
+
+
+@pytest.mark.parametrize("refine", ["bicubic", "centroid"])
+def test_find_peaks_locates_gaussians(refine):
+    H = W = 32
+    heat = np.zeros((H, W, NUM_PARTS), np.float32)
+    truth = {0: (10.3, 12.7), 5: (20.6, 8.2)}
+    for j, (gx, gy) in truth.items():
+        heat[:, :, j] = gaussian_blob((H, W), gx, gy, sigma=1.5)
+    peaks = find_peaks(jnp.asarray(heat), thre=0.1, max_peaks=8, stride=4,
+                       refine=refine)
+    valid = np.asarray(peaks.valid)
+    xy = np.asarray(peaks.xy)
+    for j, (gx, gy) in truth.items():
+        assert valid[j].sum() == 1
+        x, y = xy[j, 0]
+        # expected image coords of the sub-pixel gaussian center
+        ex, ey = (gx + 0.5) * 4 - 0.5, (gy + 0.5) * 4 - 0.5
+        assert abs(x - ex) < 4.0 and abs(y - ey) < 4.0, (j, (x, y), (ex, ey))
+    # channels without blobs have no valid peaks
+    assert valid[1].sum() == 0
+
+
+def test_bilinear_sample_matches_numpy():
+    rng = np.random.RandomState(0)
+    m = rng.rand(8, 10).astype(np.float32)
+    xs = rng.uniform(0, 9, 50).astype(np.float32)
+    ys = rng.uniform(0, 7, 50).astype(np.float32)
+    got = np.asarray(bilinear_sample(jnp.asarray(m), jnp.asarray(xs), jnp.asarray(ys)))
+    x0, y0 = np.floor(xs).astype(int), np.floor(ys).astype(int)
+    x1, y1 = np.minimum(x0 + 1, 9), np.minimum(y0 + 1, 7)
+    fx, fy = xs - x0, ys - y0
+    want = (m[y0, x0] * (1 - fx) * (1 - fy) + m[y0, x1] * fx * (1 - fy)
+            + m[y1, x0] * (1 - fx) * fy + m[y1, x1] * fx * fy)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# limb scoring oracle
+# ---------------------------------------------------------------------------
+
+def _oracle_connections(paf, peaks_xy, peaks_score, peaks_valid, img_h, icfg,
+                        stride=4):
+    """Direct numpy transcription of the reference find_connections
+    (parse_skeletons.py:324-410) using the same stride-map bilinear sampling."""
+    P = peaks_score.shape[1]
+    out = []
+    for li, (fr, to) in enumerate(LIMBS_CONN):
+        cands = []
+        for i in range(P):
+            if not peaks_valid[fr, i]:
+                continue
+            for j in range(P):
+                if not peaks_valid[to, j]:
+                    continue
+                src = peaks_xy[fr, i]
+                dst = peaks_xy[to, j]
+                d = dst - src
+                ll = float(np.hypot(d[0], d[1]))
+                if ll == 0.0:
+                    continue
+                n = int(min(round(ll) + 1, icfg.mid_num))
+                n = max(n, 2)
+                ts = np.linspace(0, 1, n)
+                px = src[0] + ts * d[0]
+                py = src[1] + ts * d[1]
+                fx = (px + 0.5) / stride - 0.5
+                fy = (py + 0.5) / stride - 0.5
+                vals = np.asarray(bilinear_sample(
+                    jnp.asarray(paf[:, :, li]), jnp.asarray(fx.astype(np.float32)),
+                    jnp.asarray(fy.astype(np.float32))))
+                score = vals.mean() + min(0.5 * img_h / ll - 1, 0)
+                c1 = np.count_nonzero(vals > icfg.thre2) > n * icfg.connect_ration
+                c2 = score > 0
+                if c1 and c2:
+                    overall = 0.5 * score + 0.25 * peaks_score[fr, i] + 0.25 * peaks_score[to, j]
+                    cands.append([i, j, score, ll, overall])
+        cands.sort(key=lambda r: r[4], reverse=True)
+        n_max = min(int(peaks_valid[fr].sum()), int(peaks_valid[to].sum()))
+        used_i, used_j, rows = set(), set(), []
+        for i, j, s, ll, _ in cands:
+            if i not in used_i and j not in used_j:
+                rows.append([fr * P + i, to * P + j, s, i, j, ll])
+                used_i.add(i)
+                used_j.add(j)
+                if len(rows) >= n_max:
+                    break
+        out.append(np.array(rows, np.float64).reshape(-1, 6))
+    return out
+
+
+def _device_peaks_from(heat, icfg):
+    return find_peaks(jnp.asarray(heat[:, :, :NUM_PARTS]), thre=icfg.thre1,
+                      max_peaks=icfg.max_peaks, stride=4, refine="bicubic")
+
+
+def test_connection_scoring_matches_oracle():
+    icfg = InferenceConfig(max_peaks=8)
+    paf, heat, _ = make_two_person_scene()
+    peaks = _device_peaks_from(heat, icfg)
+    img_h = 256.0
+
+    cand = score_connections(jnp.asarray(paf), peaks.xy, peaks.score,
+                             peaks.valid, jnp.float32(img_h),
+                             mid_num=icfg.mid_num, stride=4,
+                             thre2=icfg.thre2, connect_ration=icfg.connect_ration)
+    conns = select_connections(cand, peaks.valid)
+    got = connections_to_numpy(conns, peaks)
+
+    want = _oracle_connections(np.asarray(paf), np.asarray(peaks.xy),
+                               np.asarray(peaks.score), np.asarray(peaks.valid),
+                               img_h, icfg)
+    for li in range(len(LIMBS_CONN)):
+        g, w = got[li], want[li]
+        assert len(g) == len(w), (li, g, w)
+        if len(g) == 0:
+            continue
+        # same set of endpoint pairs (order may differ on score ties)
+        g_pairs = sorted(map(tuple, g[:, :2].astype(int)))
+        w_pairs = sorted(map(tuple, w[:, :2].astype(int)))
+        assert g_pairs == w_pairs, li
+        gs = g[np.lexsort(g[:, :2].T)]
+        ws = w[np.lexsort(w[:, :2].T)]
+        np.testing.assert_allclose(gs[:, 2], ws[:, 2], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(gs[:, 5], ws[:, 5], rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# grouping end-to-end on the synthetic scene
+# ---------------------------------------------------------------------------
+
+def test_grouping_reconstructs_two_people():
+    icfg = InferenceConfig(max_peaks=8)
+    paf, heat, gt = make_two_person_scene()
+    peaks = _device_peaks_from(heat, icfg)
+    cand = score_connections(jnp.asarray(paf), peaks.xy, peaks.score,
+                             peaks.valid, jnp.float32(256.0),
+                             mid_num=icfg.mid_num, stride=4,
+                             thre2=icfg.thre2, connect_ration=icfg.connect_ration)
+    conns = select_connections(cand, peaks.valid)
+    connected = connections_to_numpy(conns, peaks)
+    cands = group.build_joint_candidates(np.asarray(peaks.xy),
+                                         np.asarray(peaks.score),
+                                         np.asarray(peaks.valid))
+    table, cands = group.find_humans(connected, cands, icfg)
+    kps, scores = group.humans_to_keypoints(table, cands)
+
+    assert len(kps) == 2, f"expected 2 people, got {len(kps)}"
+    assert np.all(scores > 0.45)
+    # match reconstructed people to ground truth by nose x-coordinate
+    order = np.argsort(kps[:, 0, 0])
+    for pi, person_gt in zip(order, gt):
+        for j, (ex, ey) in person_gt.items():
+            x, y, v = kps[pi, j]
+            assert v == 1.0, (pi, j)
+            assert abs(x - ex) < 6 and abs(y - ey) < 6, (pi, j, (x, y), (ex, ey))

@@ -1,0 +1,103 @@
+"""Training tests: LR-schedule parity with the reference formula, one SPMD
+train step over the fake 8-CPU mesh (loss decreases, abnormal-loss skip
+works), SWA accumulation, heatmapper sanity."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from improved_body_parts_tpu import train_lib
+from improved_body_parts_tpu.configs import (
+    BKG_START, HEAT_START, NUM_LAYERS, CanonicalConfig, ModelConfig, TrainConfig,
+)
+from improved_body_parts_tpu.models.imhn import create_model, init_model
+from improved_body_parts_tpu.parallel import mesh as mesh_lib
+
+
+def test_learning_rate_schedule():
+    cfg = TrainConfig(learning_rate=2.5e-5)
+    # warmup: epoch 0 step 0, len_epoch 100 -> lr * 1/300
+    lr0 = train_lib.learning_rate(cfg, 0, 0, 100, data_parallel=4)
+    assert lr0 == pytest.approx(2.5e-5 * 4 * 1 / 300)
+    # after warmup, before first step-down
+    lr = train_lib.learning_rate(cfg, 10, 0, 100, data_parallel=4)
+    assert lr == pytest.approx(1e-4)
+    # epoch 30 -> factor 2
+    lr = train_lib.learning_rate(cfg, 30, 0, 100, data_parallel=4)
+    assert lr == pytest.approx(1e-4 * 0.2 ** 2)
+    # late schedule: epoch 83 -> (83-78)//5 = 1
+    lr = train_lib.learning_rate(cfg, 83, 0, 100, data_parallel=1)
+    assert lr == pytest.approx(2.5e-5 * 0.2)
+
+
+def test_cyclic_lr():
+    cfg = TrainConfig(swa_lr_max=1e-5, swa_lr_min=1e-6, swa_freq_epochs=5)
+    lrs = [train_lib.cyclic_learning_rate(cfg, e, 0) for e in range(6)]
+    assert lrs[0] == pytest.approx(1e-5)
+    assert lrs[4] == pytest.approx(1e-6)
+    assert lrs[5] == pytest.approx(1e-5)  # cycle restarts
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    config = CanonicalConfig(
+        width=64, height=64,
+        model=ModelConfig(nstack=2, inp_dim=32, increase=16),
+        train=dataclasses.replace(TrainConfig(), swa=True))
+    model = create_model(config.model, dtype=jnp.float32)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), 64, 64)
+    state = train_lib.create_train_state(params, batch_stats, config.train)
+    return config, model, state
+
+
+def _fake_batch(batch=8, hw=64):
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(batch, hw, hw, 3), jnp.float32)
+    mask = jnp.ones((batch, hw // 4, hw // 4, 1), jnp.float32)
+    heat = jnp.asarray(rng.rand(batch, hw // 4, hw // 4, NUM_LAYERS) * 0.5,
+                       jnp.float32)
+    return imgs, mask, heat
+
+
+def test_train_step_on_mesh_loss_decreases(tiny_setup):
+    config, model, state = tiny_setup
+    assert jax.device_count() == 8, "conftest must fake 8 CPU devices"
+    mesh = mesh_lib.make_mesh(8, spatial=2)
+    imgs, mask, heat = mesh_lib.shard_batch(mesh, _fake_batch())
+    step = train_lib.make_train_step(model, config, donate=False)
+    losses = []
+    for i in range(6):
+        state, metrics = step(state, imgs, mask, heat, jnp.float32(1e-2))
+        losses.append(float(metrics["loss"]))
+        assert float(metrics["skipped"]) == 0.0
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 6
+
+
+def test_abnormal_loss_skips_update(tiny_setup):
+    config, model, state = tiny_setup
+    cfg2 = dataclasses.replace(config, train=dataclasses.replace(
+        config.train, abnormal_loss_thresh=1e-9))  # force every loss "abnormal"
+    step = train_lib.make_train_step(model, cfg2, donate=False)
+    imgs, mask, heat = _fake_batch(batch=2)
+    new_state, metrics = step(state, imgs, mask, heat, jnp.float32(1e-2))
+    assert float(metrics["skipped"]) == 1.0
+    # params unchanged
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(new_state.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_swa_accumulation(tiny_setup):
+    _, _, state = tiny_setup
+    s1 = train_lib.swa_update(state)
+    assert int(s1.swa_count) == 1
+    p = jax.tree_util.tree_leaves(state.params)[0]
+    avg = jax.tree_util.tree_leaves(s1.swa_params)[0]
+    np.testing.assert_allclose(np.asarray(avg), np.asarray(p), rtol=1e-6)
+    swapped = train_lib.swa_swap(s1)
+    np.testing.assert_allclose(np.asarray(jax.tree_util.tree_leaves(swapped.params)[0]),
+                               np.asarray(avg), rtol=1e-6)

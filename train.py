@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Train the IMHN pose network, data-parallel over the TPU mesh.
+
+CLI-compatible successor of the reference trainers (train.py /
+train_distributed.py / train_distributed_SWA.py): one SPMD program replaces
+the NCCL process-group scaffolding; pass ``--swa`` for stochastic weight
+averaging. Without a COCO hdf5 dataset (``--train-h5``) a synthetic dataset
+exercises the identical training path.
+
+Example:
+    python train.py --epochs 2 --steps-per-epoch 10 --batch-size 4 --image-size 256
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description="PoseNet Training (TPU-native)")
+    parser.add_argument("--config", default="Canonical")
+    parser.add_argument("--checkpoint_path", "-p", default="link2checkpoints_distributed",
+                        help="checkpoint + log directory")
+    parser.add_argument("--resume", "-r", action="store_true", help="resume from checkpoint")
+    parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument("--steps-per-epoch", type=int, default=0,
+                        help="0 = full dataset")
+    parser.add_argument("--batch-size", type=int, default=0,
+                        help="PER-DEVICE batch size (0 = config default)")
+    parser.add_argument("--image-size", type=int, default=0,
+                        help="override input resolution (debug)")
+    parser.add_argument("--train-h5", default="", help="COCO train hdf5 (reference format)")
+    parser.add_argument("--val-h5", default="", help="COCO val hdf5")
+    parser.add_argument("--swa", action="store_true", help="stochastic weight averaging")
+    parser.add_argument("--swa-start-epoch", type=int, default=0)
+    parser.add_argument("--loss", choices=["focal", "l2"], default="focal")
+    parser.add_argument("--max_grad_norm", type=float, default=0.0)
+    parser.add_argument("--print-freq", type=int, default=20)
+    parser.add_argument("--tiny-model", action="store_true",
+                        help="small IMHN for smoke tests")
+    args = parser.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from improved_body_parts_tpu.configs import get_config
+    from improved_body_parts_tpu import train_lib
+    from improved_body_parts_tpu.configs import ModelConfig
+    from improved_body_parts_tpu.models.imhn import create_model, init_model
+    from improved_body_parts_tpu.parallel import mesh as mesh_lib
+    from improved_body_parts_tpu.utils import checkpoint as ckpt_lib
+
+    config = get_config(args.config)
+    tcfg = dataclasses.replace(
+        config.train,
+        swa=args.swa,
+        max_grad_norm=args.max_grad_norm,
+        batch_size=args.batch_size or config.train.batch_size,
+    )
+    config = dataclasses.replace(config, train=tcfg)
+    image_size = args.image_size or config.height
+
+    mesh = mesh_lib.make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    global_batch = tcfg.batch_size * n_dev
+    print(f"devices: {n_dev}, per-device batch {tcfg.batch_size}, "
+          f"global batch {global_batch}")
+
+    mcfg = (ModelConfig(nstack=2, inp_dim=64, increase=32)
+            if args.tiny_model else config.model)
+    model = create_model(mcfg, dtype=jnp.bfloat16)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0),
+                                     image_size, image_size)
+    state = train_lib.create_train_state(params, batch_stats, tcfg)
+    start_epoch = 0
+
+    os.makedirs(args.checkpoint_path, exist_ok=True)
+    ckpt_dir = os.path.join(args.checkpoint_path, "orbax")
+    if args.resume and os.path.isdir(ckpt_dir):
+        restored = ckpt_lib.restore_train_state(ckpt_dir)
+        state = state._replace(
+            params=restored["params"], batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"], jnp.int32))
+        start_epoch = int(restored["epoch"]) + 1
+        print(f"resumed from epoch {start_epoch - 1}")
+
+    # data -------------------------------------------------------------
+    if args.train_h5:
+        from improved_body_parts_tpu.data.pipeline import CocoH5Dataset
+        train_ds = CocoH5Dataset(args.train_h5, config, augment=True)
+        val_ds = (CocoH5Dataset(args.val_h5, config, augment=False)
+                  if args.val_h5 else None)
+    else:
+        from improved_body_parts_tpu.data.synthetic import SyntheticDataset
+        print("no --train-h5 given: using the synthetic dataset")
+        train_ds = SyntheticDataset(config, length=512, image_size=image_size)
+        val_ds = SyntheticDataset(config, length=64, seed=999,
+                                  image_size=image_size)
+
+    steps = args.steps_per_epoch or max(len(train_ds) // global_batch, 1)
+    train_step = train_lib.make_train_step(model, config,
+                                           use_focal=args.loss == "focal")
+    eval_step = train_lib.make_eval_step(model, config,
+                                         use_focal=args.loss == "focal")
+
+    log_path = os.path.join(args.checkpoint_path, "log")
+    best_loss = float("inf")
+    for epoch in range(start_epoch, args.epochs):
+        t_epoch = time.time()
+        losses, skipped = [], 0
+        for step, (imgs, masks, heats) in enumerate(
+                train_ds.batches(global_batch, steps, seed=epoch)):
+            lr = train_lib.learning_rate(tcfg, epoch, step, steps, n_dev)
+            batch = mesh_lib.shard_batch(mesh, (jnp.asarray(imgs),
+                                                jnp.asarray(masks),
+                                                jnp.asarray(heats)))
+            state, metrics = train_step(state, batch[0], batch[1], batch[2],
+                                        jnp.float32(lr))
+            if step % args.print_freq == 0:
+                loss = float(metrics["loss"])
+                losses.append(loss)
+                print(f"epoch {epoch} step {step}/{steps} loss {loss:.4f} "
+                      f"lr {lr:.2e} gnorm {float(metrics['grad_norm']):.2f}")
+            skipped += int(float(metrics["skipped"]))
+
+        if args.swa and epoch >= args.swa_start_epoch and \
+                (epoch - args.swa_start_epoch) % tcfg.swa_freq_epochs == 0:
+            state = train_lib.swa_update(state)
+            print(f"SWA accumulate #{int(state.swa_count)}")
+
+        # validation loss (reference test(), train_distributed.py:341-393)
+        val_losses = []
+        if val_ds is not None:
+            for imgs, masks, heats in val_ds.batches(global_batch, max(steps // 8, 1),
+                                                     seed=0):
+                batch = mesh_lib.shard_batch(mesh, (jnp.asarray(imgs),
+                                                    jnp.asarray(masks),
+                                                    jnp.asarray(heats)))
+                val_losses.append(float(eval_step(state.params, state.batch_stats,
+                                                  batch[0], batch[1], batch[2])))
+        train_loss = float(np.mean(losses)) if losses else float("nan")
+        val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+        dt = time.time() - t_epoch
+        print(f"=== epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f} "
+              f"({dt:.1f}s, {skipped} skipped batches)")
+        with open(log_path, "a") as f:
+            f.write(f"Epoch {epoch}\ttrain_loss: {train_loss}\tval_loss: {val_loss}\n")
+
+        ckpt_lib.save_train_state(ckpt_dir, {
+            "params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": int(state.step),
+            "epoch": epoch, "train_loss": train_loss,
+        }, step=epoch)
+        if train_loss < best_loss:
+            best_loss = train_loss
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
