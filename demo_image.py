@@ -98,6 +98,10 @@ def main():
                         help="sub-pixel peak refinement scheme")
     parser.add_argument("--run_cpp", action="store_true",
                         help="use the C++ grouping fast path")
+    parser.add_argument("--scale-search", type=float, nargs="*", default=None,
+                        help="multi-scale TTA factors, e.g. 0.5 1 1.5 2")
+    parser.add_argument("--rotation-search", type=float, nargs="*", default=[0.0],
+                        help="rotation TTA angles in degrees")
     parser.add_argument("--synthetic", action="store_true",
                         help="run post-processing on a synthetic scene (no weights needed)")
     args = parser.parse_args()
@@ -117,7 +121,9 @@ def main():
     predictor = build_predictor(args.checkpoint, args.config, args.refine)
     t0 = time.time()
     kps, scores, aux = predictor.predict_skeletons(
-        img, use_cpp=True if args.run_cpp else None)
+        img, use_cpp=True if args.run_cpp else None,
+        scales=tuple(args.scale_search) if args.scale_search else None,
+        angles=tuple(args.rotation_search))
     t1 = time.time()
     print(f"found {len(kps)} people in {t1 - t0:.3f}s "
           f"(first call includes XLA compile)")

@@ -68,6 +68,8 @@ def main():
     parser.add_argument("--dump-name", default="tpu_imhn")
     parser.add_argument("--run_cpp", action="store_true")
     parser.add_argument("--show_eval_speed", action="store_true")
+    parser.add_argument("--scale-search", type=float, nargs="*", default=None,
+                        help="multi-scale TTA factors (reference INI scale_search)")
     args = parser.parse_args()
 
     import cv2
@@ -117,7 +119,8 @@ def main():
             continue
         t0 = time.time()
         kps, scores, _ = predictor.predict_skeletons(
-            img, use_cpp=True if args.run_cpp else None)
+            img, use_cpp=True if args.run_cpp else None,
+            scales=tuple(args.scale_search) if args.scale_search else None)
         meter.update(time.time() - t0)
         append_result(image_id, kps, scores, all_outputs)
         if args.show_eval_speed and n % 50 == 0:

@@ -168,10 +168,9 @@ class Predictor:
         conns = select_connections(cand, peaks.valid)
         return pack_results(peaks, conns), paf, heat
 
-    def _flip_avg_maps(self, variables, imgs_u8):
-        """imgs_u8: (B, h, w, 3) uint8 -> (B, h/4, w/4, 50) flip-averaged."""
+    def _flip_avg_maps(self, variables, imgs):
+        """imgs: (B, h, w, 3) float in [0,1] -> (B, h/4, w/4, 50) flip-avg."""
         flip_ord = jnp.asarray(FLIP_CHANNEL_ORD)
-        imgs = imgs_u8.astype(jnp.float32) / 255.0
         both = jnp.concatenate([imgs, imgs[:, :, ::-1, :]], axis=0)
         outs = self.model.apply(variables, both, train=False)
         out = outs[-1][0]                                  # (2B, h/4, w/4, 50)
@@ -185,17 +184,71 @@ class Predictor:
         if key not in self._compiled:
             @jax.jit
             def run(variables, img_u8, img_h):
-                avg = self._flip_avg_maps(variables, img_u8[None])[0]
+                img = img_u8.astype(jnp.float32) / 255.0
+                avg = self._flip_avg_maps(variables, img[None])[0]
                 return self._postprocess(avg, img_h)
             self._compiled[key] = run
         return self._compiled[key]
+
+    def _device_fn_tta(self, h: int, w: int, scales: Tuple[float, ...],
+                       angles: Tuple[float, ...]):
+        """Multi-scale (+rotation) TTA fused into ONE device program: the
+        original image is uploaded once; every scale/rotation variant is
+        resized/warped, forwarded with its flip pair, and the resulting
+        stride-4 maps are cropped back and averaged on device — the
+        reference's host loop with cv2 resizes (parse_skeletons.py:196-281)
+        collapses into a single XLA graph and a single ~28 KB download."""
+        key = ("tta", h, w, scales, angles)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        from improved_body_parts_tpu.ops.warp import affine_warp, rotation_matrix
+
+        bucket = self.config.infer.max_downsample
+        pad_val = self.config.infer.pad_value / 255.0
+        base_h4, base_w4 = h // self.config.stride, w // self.config.stride
+
+        @jax.jit
+        def run(variables, img_u8, img_h):
+            img = img_u8.astype(jnp.float32) / 255.0
+            acc = jnp.zeros((base_h4, base_w4, NUM_LAYERS), jnp.float32)
+            for s in scales:
+                sh, sw = int(round(h * s)), int(round(w * s))
+                ph = -(-sh // bucket) * bucket
+                pw = -(-sw // bucket) * bucket
+                img_s = img if s == 1.0 else jax.image.resize(
+                    img, (sh, sw, 3), method="cubic")
+                img_p = jnp.full((ph, pw, 3), pad_val, jnp.float32)
+                img_p = img_p.at[:sh, :sw].set(img_s)
+                for ang in angles:
+                    if ang != 0.0:
+                        inv = rotation_matrix((pw / 2.0, ph / 2.0), -ang)
+                        x = affine_warp(img_p, inv, fill_value=pad_val)
+                    else:
+                        x = img_p
+                    avg = self._flip_avg_maps(variables, x[None])[0]
+                    if ang != 0.0:
+                        inv_back = rotation_matrix(
+                            (avg.shape[1] / 2.0, avg.shape[0] / 2.0), ang)
+                        avg = affine_warp(avg, inv_back)
+                    vh = max(int(round(sh / self.config.stride)), 1)
+                    vw = max(int(round(sw / self.config.stride)), 1)
+                    valid = avg[:vh, :vw, :]
+                    acc = acc + jax.image.resize(
+                        valid, (base_h4, base_w4, NUM_LAYERS), method="cubic")
+            avg = acc / float(len(scales) * len(angles))
+            return self._postprocess(avg, img_h)
+
+        self._compiled[key] = run
+        return run
 
     def _device_fn_batch(self, batch: int, h: int, w: int):
         key = ("batch", batch, h, w)
         if key not in self._compiled:
             @jax.jit
             def run(variables, imgs_u8, img_hs):
-                avgs = self._flip_avg_maps(variables, imgs_u8)
+                imgs = imgs_u8.astype(jnp.float32) / 255.0
+                avgs = self._flip_avg_maps(variables, imgs)
                 packed, _, _ = jax.vmap(self._postprocess)(avgs, img_hs)
                 return packed
             self._compiled[key] = run
@@ -229,9 +282,32 @@ class Predictor:
                     raise
         return group.find_humans(connected, cands, self.config.infer)
 
-    def predict_skeletons(self, img: np.ndarray, use_cpp: Optional[bool] = None):
-        """Full pipeline -> (keypoints (N,18,3), scores (N,), aux dict)."""
-        packed, paf, heat, (orig_h, orig_w) = self.predict_maps(img)
+    def predict_maps_tta(self, img: np.ndarray,
+                         scales: Tuple[float, ...] = (0.5, 1.0, 1.5, 2.0),
+                         angles: Tuple[float, ...] = (0.0,)):
+        """Multi-scale / rotation TTA path. ``scales`` multiply the padded
+        input size (the reference scales by boxsize/img_h * scale_search;
+        pass those factors here). Returns (packed, paf, heat, (h, w))."""
+        icfg = self.config.infer
+        padded, (orig_h, orig_w) = pad_image_to_bucket(
+            img, bucket=icfg.max_downsample, pad_value=icfg.pad_value,
+            max_hw=(icfg.img_max_h, icfg.img_max_w))
+        fn = self._device_fn_tta(padded.shape[0], padded.shape[1],
+                                 tuple(scales), tuple(angles))
+        packed, paf, heat = fn(self.variables, jnp.asarray(padded),
+                               jnp.float32(orig_h))
+        return packed, paf, heat, (orig_h, orig_w)
+
+    def predict_skeletons(self, img: np.ndarray, use_cpp: Optional[bool] = None,
+                          scales: Optional[Tuple[float, ...]] = None,
+                          angles: Tuple[float, ...] = (0.0,)):
+        """Full pipeline -> (keypoints (N,18,3), scores (N,), aux dict).
+        Pass ``scales`` for multi-scale TTA (single-scale otherwise)."""
+        if scales is not None and (tuple(scales) != (1.0,) or angles != (0.0,)):
+            packed, paf, heat, (orig_h, orig_w) = self.predict_maps_tta(
+                img, tuple(scales), tuple(angles))
+        else:
+            packed, paf, heat, (orig_h, orig_w) = self.predict_maps(img)
         buf = np.asarray(packed)              # the single D2H fetch
         peaks_np, conns_np = unpack_results(buf, self.config.infer.max_peaks)
         table, cands = self._group(peaks_np, conns_np, use_cpp)

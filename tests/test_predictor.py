@@ -1,0 +1,83 @@
+"""Predictor integration tests on the CPU mesh with a tiny model: single
+image, batched and multi-scale/rotation TTA paths must agree structurally,
+and TTA at scale (1.0,) must reproduce the single-scale result."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from improved_body_parts_tpu.configs import CanonicalConfig, ModelConfig
+from improved_body_parts_tpu.infer.predict import (
+    Predictor, pad_image_to_bucket, packed_size, unpack_results,
+)
+from improved_body_parts_tpu.models.imhn import create_model, init_model
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    config = CanonicalConfig(width=128, height=128,
+                             model=ModelConfig(nstack=2, inp_dim=32, increase=16))
+    model = create_model(config.model, dtype=jnp.float32)
+    params, bs = init_model(model, jax.random.PRNGKey(0), 128, 128)
+    return Predictor(model, {"params": params, "batch_stats": bs}, config)
+
+
+def test_pad_image_to_bucket():
+    img = np.zeros((100, 150, 3), np.uint8)
+    padded, (h, w) = pad_image_to_bucket(img, bucket=64, pad_value=128)
+    assert padded.shape == (128, 192, 3)
+    assert (h, w) == (100, 150)
+    assert padded[105, 5, 0] == 128  # pad region filled with pad_value
+    assert padded.dtype == np.uint8
+
+
+def test_predict_skeletons_runs(predictor):
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (128, 128, 3), np.uint8)
+    kps, scores, aux = predictor.predict_skeletons(img)
+    assert kps.shape[1:] == (18, 3)
+    assert len(scores) == len(kps)
+
+
+def test_packed_roundtrip(predictor):
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (128, 128, 3), np.uint8)
+    packed, paf, heat, _ = predictor.predict_maps(img)
+    buf = np.asarray(packed)
+    P = predictor.config.infer.max_peaks
+    assert buf.shape == (packed_size(P),)
+    peaks, conns = unpack_results(buf, P)
+    assert peaks.xy.shape == (18, P, 2)
+    assert conns.valid.shape == (30, P)
+
+
+def test_tta_scale1_matches_single(predictor):
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (128, 128, 3), np.uint8)
+    packed_s, _, _, _ = predictor.predict_maps(img)
+    packed_t, _, _, _ = predictor.predict_maps_tta(img, scales=(1.0,),
+                                                   angles=(0.0,))
+    np.testing.assert_allclose(np.asarray(packed_s), np.asarray(packed_t),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_tta_multiscale_and_rotation_runs(predictor):
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 255, (128, 128, 3), np.uint8)
+    kps, scores, _ = predictor.predict_skeletons(img, scales=(0.5, 1.0),
+                                                 angles=(0.0, 15.0))
+    assert kps.shape[1:] == (18, 3)
+
+
+def test_predict_batch(predictor):
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 255, (2, 128, 128, 3), np.uint8)
+    out = predictor.predict_batch(imgs)
+    assert len(out) == 2
+    # batched result for image 0 must equal the single-image result
+    kps_b, scores_b = out[0]
+    kps_s, scores_s, _ = predictor.predict_skeletons(imgs[0])
+    assert kps_b.shape == kps_s.shape
+    if len(kps_s):
+        np.testing.assert_allclose(kps_b, kps_s, rtol=1e-4, atol=1e-4)
