@@ -118,6 +118,9 @@ class ModelConfig:
     num_scales: int = 5
     bn: bool = True
     se_reduction: int = 16
+    # variant switches (reference ablation family, SURVEY C21):
+    cross_stack: bool = True        # False = posenet_independent.py (no skips)
+    extra_attention: bool = False   # True = posenet_final.py channel_attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -266,6 +269,11 @@ CONFIGS: Dict[str, CanonicalConfig] = {
     "Canonical384x3": _variant(384, 256, 128, nstack=3, sigma=7.0, paf_sigma=5.0),
     "Dense384": _variant(384, 384, 192, nstack=4, sigma=7.0, paf_sigma=5.0),
     "Final384x4": _variant(384, 256, 128, nstack=4, sigma=7.0, paf_sigma=5.0),
+    # ablation variants (reference posenet_independent.py / posenet_final.py)
+    "Independent": CanonicalConfig(model=ModelConfig(cross_stack=False)),
+    "FinalAttention": CanonicalConfig(model=ModelConfig(extra_attention=True)),
+    # light 4-stage (reference posenet3.py)
+    "Light512": CanonicalConfig(model=ModelConfig(inp_dim=128, increase=64)),
 }
 
 

@@ -247,7 +247,13 @@ class PoseNet(nn.Module):
         for t in range(cfg.nstack):
             hg_outs = Hourglass(depth=cfg.depth, nfeat=cfg.inp_dim,
                                 increase=cfg.increase, name=f"hg{t}", **kw)(x, train)
-            if t > 0:
+            if cfg.extra_attention:
+                # per-scale channel attention on hourglass outputs
+                # (reference posenet_final.py variant)
+                hg_outs = [SELayer(cfg.se_reduction, dtype=self.dtype,
+                                   name=f"chattn{t}_s{s}")(h)
+                           for s, h in enumerate(hg_outs)]
+            if cfg.cross_stack and t > 0:
                 hg_outs = [hg_outs[s] + feat_caches[s] for s in range(cfg.num_scales)]
             feats = Features(inp_dim=cfg.inp_dim, se_reduction=cfg.se_reduction,
                              name=f"features{t}", **kw)(hg_outs, train)
@@ -256,7 +262,7 @@ class PoseNet(nn.Module):
                 pred = ConvBlock(cfg.oup_dim, kernel=1, bn=False, relu=False,
                                  dtype=self.dtype, name=f"out{t}_s{s}")(feats[s], train)
                 stack_preds.append(pred)
-                if t != cfg.nstack - 1:
+                if cfg.cross_stack and t != cfg.nstack - 1:
                     c = cfg.inp_dim + s * cfg.increase
                     cache = (
                         ConvBlock(c, kernel=1, relu=False,

@@ -116,9 +116,14 @@ def main():
     for epoch in range(start_epoch, args.epochs):
         t_epoch = time.time()
         losses, skipped = [], 0
+        swa_active = args.swa and epoch >= args.swa_start_epoch
         for step, (imgs, masks, heats) in enumerate(
                 train_ds.batches(global_batch, steps, seed=epoch)):
-            lr = train_lib.learning_rate(tcfg, epoch, step, steps, n_dev)
+            if swa_active:
+                # cyclic LR while averaging (train_distributed_SWA.py:365-371)
+                lr = train_lib.cyclic_learning_rate(tcfg, epoch, args.swa_start_epoch)
+            else:
+                lr = train_lib.learning_rate(tcfg, epoch, step, steps, n_dev)
             batch = mesh_lib.shard_batch(mesh, (jnp.asarray(imgs),
                                                 jnp.asarray(masks),
                                                 jnp.asarray(heats)))
