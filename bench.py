@@ -98,6 +98,7 @@ def main():
 
     # warmup / compile both paths
     predictor.predict_batch(frames[0])
+    predictor.predict_skeletons(frames[0][0])
     t0 = time.perf_counter()
     predictor.predict_skeletons(frames[0][0])
     single_latency = time.perf_counter() - t0  # cached program
