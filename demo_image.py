@@ -74,7 +74,11 @@ def run_synthetic(args):
     cands = group.build_joint_candidates(np.asarray(peaks.xy),
                                          np.asarray(peaks.score),
                                          np.asarray(peaks.valid))
-    table, cands = group.find_humans(connected, cands, icfg)
+    if args.run_cpp:
+        from improved_body_parts_tpu.ops import group_cpp
+        table, cands = group_cpp.find_humans(connected, cands, icfg)
+    else:
+        table, cands = group.find_humans(connected, cands, icfg)
     kps, scores = group.humans_to_keypoints(table, cands)
     print(f"synthetic scene: found {len(kps)} people "
           f"(scores: {np.round(scores, 3).tolist()}) in {time.time()-t0:.2f}s")

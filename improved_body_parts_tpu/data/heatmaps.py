@@ -130,6 +130,47 @@ class Heatmapper:
         return np.clip(hm, 0.0, 1.0)
 
 
+def _offset_channels(hm: "Heatmapper", joints: np.ndarray):
+    """Shared x/y offset maps + mask (reference py_data_heatmapper.py:259-316
+    ``put_offset_vector_maps``/``put_offset`` — generated but unused by the
+    live training path; kept for capability parity)."""
+    H, W = hm.h, hm.w
+    offset_size = hm.gaussian_size // 2 + 1
+    vectors = np.zeros((H, W, 2), np.float32)
+    mask = np.zeros((H, W, 2), np.float32)
+    half = offset_size // 2
+    for j in range(joints.shape[1]):
+        for person in joints:
+            x, y, v = person[j]
+            if v >= 2:
+                continue
+            cx = int(round(x / hm.stride))
+            cy = int(round(y / hm.stride))
+            x_min, x_max = cx - half, cx + half + 1
+            y_min, y_max = cy - half, cy + half + 1
+            if x_max < 0 or y_max < 0:
+                continue
+            sx = slice(max(x_min, 0), min(x_max, W))
+            sy = slice(max(y_min, 0), min(y_max, H))
+            ox = (hm.grid_x[sx] - x) / (offset_size * hm.stride)
+            oy = (hm.grid_y[sy] - y) / (offset_size * hm.stride)
+            vectors[sy, sx, 0] += ox[None, :]
+            vectors[sy, sx, 1] += oy[:, None]
+            mask[sy, sx, :] += 1.0
+    nz = mask > 0
+    vectors[nz] /= mask[nz]
+    mask[nz] = 1.0
+    return vectors, mask
+
+
+def create_offset_maps(joints: np.ndarray,
+                       config=None) -> "tuple[np.ndarray, np.ndarray]":
+    """Public entry for the (h, w, 2) offset vectors + mask."""
+    from improved_body_parts_tpu.configs import CanonicalConfig
+    hm = Heatmapper(config or CanonicalConfig())
+    return _offset_channels(hm, np.asarray(joints, np.float32))
+
+
 def erode3(mask: np.ndarray) -> np.ndarray:
     """3x3 binary erosion (cv2.erode with a ones kernel, heatmapper :80-82)."""
     p = np.pad(mask, 1, mode="edge")

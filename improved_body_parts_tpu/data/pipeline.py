@@ -159,8 +159,12 @@ class CocoH5Dataset:
         self._h5 = None
         import h5py
         with h5py.File(h5_path, "r") as f:
-            assert "dataset" in f, "expected reference-format h5 (group 'dataset')"
-            self._keys = list(f["dataset"].keys())
+            # new layout: groups dataset/images/masks; legacy: group 'datum'
+            # with packed image+mask entries (py_data_iterator.py:76-109)
+            self._legacy = "datum" in f and "dataset" not in f
+            group = "datum" if self._legacy else "dataset"
+            assert group in f, "expected reference-format h5 ('dataset' or 'datum')"
+            self._keys = list(f[group].keys())
 
     def __len__(self) -> int:
         return len(self._keys)
@@ -176,6 +180,8 @@ class CocoH5Dataset:
     def read_raw(self, idx: int):
         f = self._file()
         key = self._keys[idx]
+        if self._legacy:
+            return self._read_raw_legacy(f, key)
         entry = f["dataset"][key]
         meta = json.loads(entry[()])
         img = f["images"][meta["image"]][()]
@@ -190,6 +196,20 @@ class CocoH5Dataset:
             mask_miss = np.full(img.shape[:2], 255, np.uint8)
         if mask_all is None:
             mask_all = np.zeros(img.shape[:2], np.uint8)
+        return img, mask_miss, mask_all, meta
+
+    def _read_raw_legacy(self, f, key):
+        """Legacy 'datum' layout: a (6, H, W) or (H, W, 6) tensor packing
+        [img(3), border, mask_miss, mask_all] with meta in attrs
+        (py_data_iterator.py:84-109)."""
+        entry = f["datum"][key]
+        meta = json.loads(entry.attrs["meta"])
+        data = entry[()]
+        if data.shape[0] <= 6:          # stored transposed (C, H, W)
+            data = data.transpose(1, 2, 0)
+        img = data[:, :, 0:3]
+        mask_miss = data[:, :, 4]
+        mask_all = data[:, :, 5]
         return img, mask_miss, mask_all, meta
 
     def __getitem__(self, idx: int, rng: Optional[np.random.RandomState] = None):

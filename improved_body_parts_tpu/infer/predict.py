@@ -141,6 +141,45 @@ def pad_image_to_bucket(img: np.ndarray, bucket: int = 64,
     return out, (h, w)
 
 
+def center_pad_to_bucket(img: np.ndarray, bucket: int = 64,
+                         pad_value: int = 128):
+    """Centered variant of the bucket padding (reference utils/util.py:68-100
+    ``center_pad``): splits the pad between both sides.
+
+    Returns (padded uint8, pad[up, left, down, right], (orig_h, orig_w))."""
+    h, w = img.shape[:2]
+    ph = -(-h // bucket) * bucket
+    pw = -(-w // bucket) * bucket
+    top = (ph - h) // 2
+    left = (pw - w) // 2
+    out = np.full((ph, pw, 3), pad_value, dtype=np.uint8)
+    out[top:top + h, left:left + w] = img
+    return out, [top, left, ph - h - top, pw - w - left], (h, w)
+
+
+def gaussian_blur(maps: jnp.ndarray, kernel_size: int = 5,
+                  sigma: float = 1.0) -> jnp.ndarray:
+    """Depthwise separable gaussian smoothing with reflect padding
+    (reference utils/util.py:103-174 ``GaussianSmoothing`` — optional
+    heatmap smoothing before NMS; not in the live path).
+
+    maps: (..., H, W). Returns the smoothed maps."""
+    half = (kernel_size - 1) // 2
+    xs = jnp.arange(kernel_size, dtype=jnp.float32) - half
+    k = jnp.exp(-0.5 * jnp.square(xs / sigma))
+    k = k / jnp.sum(k)
+
+    lead = maps.shape[:-2]
+    h, w = maps.shape[-2:]
+    flat = maps.reshape((-1, h, w))
+    pad = [(0, 0), (half, half), (half, half)]
+    padded = jnp.pad(flat, pad, mode="reflect")
+    # separable: convolve rows then columns via dot products of shifts
+    rows = sum(padded[:, :, i:i + w] * k[i] for i in range(kernel_size))
+    cols = sum(rows[:, i:i + h, :] * k[i] for i in range(kernel_size))
+    return cols.reshape(lead + (h, w))
+
+
 class Predictor:
     """Caches one compiled device program per padded input shape."""
 

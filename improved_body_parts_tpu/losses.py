@@ -77,6 +77,17 @@ def plain_l2(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarr
     return out.sum(axis=(1, 2, 3, 4))
 
 
+def offset_l1_loss(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
+                   nstack_weight=(1.0, 1.0, 1.0, 1.0)) -> jnp.ndarray:
+    """L1 loss for offset maps (reference loss_model.py:83-100; the offset
+    head is unused by the live training path but kept for parity).
+
+    pred/gt/mask: (nstack, N, h, w, 2). Returns a scalar."""
+    per_stack = (jnp.abs(pred - gt) * mask).sum(axis=(1, 2, 3, 4))
+    nw = jnp.asarray(nstack_weight[:pred.shape[0]], jnp.float32)
+    return jnp.sum(per_stack * nw) / jnp.sum(nw)
+
+
 def multi_task_loss(preds: Sequence[Sequence[jnp.ndarray]],
                     gt_heatmaps: jnp.ndarray,
                     mask_miss: jnp.ndarray,

@@ -51,3 +51,28 @@ def shard_batch(mesh: Mesh, batch, shard_spatial: bool = False):
     """Device-put a pytree of host arrays with the batch axis sharded."""
     sh = batch_sharding(mesh, shard_spatial)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Multi-host (multi-process) setup — the SPMD replacement for the
+    reference's ``torch.distributed.init_process_group('nccl', 'env://')``
+    under torch.distributed.launch (train_distributed.py:77-83). After this,
+    jax.devices() spans all hosts and the same jitted step runs globally."""
+    kwargs = {}
+    if coordinator_address:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def process_batch_slice(global_batch: int) -> slice:
+    """This process's slice of a globally-indexed batch — replaces the
+    reference's ``DistributedSampler`` (train_distributed.py:209-211): each
+    host loads only its shard and jax assembles the global array."""
+    n = jax.process_count()
+    per = global_batch // n
+    assert per * n == global_batch, (global_batch, n)
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)

@@ -43,7 +43,15 @@ def main():
     parser.add_argument("--print-freq", type=int, default=20)
     parser.add_argument("--tiny-model", action="store_true",
                         help="small IMHN for smoke tests")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed (multi-host pods)")
+    parser.add_argument("--coordinator", default=None,
+                        help="coordinator address for --multihost")
     args = parser.parse_args()
+
+    if args.multihost:
+        from improved_body_parts_tpu.parallel.mesh import initialize_multihost
+        initialize_multihost(args.coordinator)
 
     import dataclasses
 
