@@ -70,6 +70,9 @@ def main():
     parser.add_argument("--show_eval_speed", action="store_true")
     parser.add_argument("--scale-search", type=float, nargs="*", default=None,
                         help="multi-scale TTA factors (reference INI scale_search)")
+    parser.add_argument("--letterbox", action="store_true",
+                        help="fixed boxsize^2 letterbox (one XLA program for "
+                             "all image sizes; slight AP trade for speed)")
     args = parser.parse_args()
 
     import cv2
@@ -120,7 +123,8 @@ def main():
         t0 = time.time()
         kps, scores, _ = predictor.predict_skeletons(
             img, use_cpp=True if args.run_cpp else None,
-            scales=tuple(args.scale_search) if args.scale_search else None)
+            scales=tuple(args.scale_search) if args.scale_search else None,
+            fixed_size=args.letterbox)
         meter.update(time.time() - t0)
         append_result(image_id, kps, scores, all_outputs)
         if args.show_eval_speed and n % 50 == 0:

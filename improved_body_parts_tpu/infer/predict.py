@@ -294,16 +294,18 @@ class Predictor:
         return self._compiled[key]
 
     # -- host API ------------------------------------------------------------
-    def predict_maps(self, img: np.ndarray):
+    def predict_maps(self, img: np.ndarray, img_h_override: Optional[float] = None):
         """Run the device program on a BGR uint8 image (any size).
-        Returns (packed_device, paf_device, heat_device, (orig_h, orig_w))."""
+        Returns (packed_device, paf_device, heat_device, (orig_h, orig_w)).
+        ``img_h_override`` replaces the limb-length-penalty height (used by
+        the letterbox path where the content is smaller than the canvas)."""
         icfg = self.config.infer
         padded, (orig_h, orig_w) = pad_image_to_bucket(
             img, bucket=icfg.max_downsample, pad_value=icfg.pad_value,
             max_hw=(icfg.img_max_h, icfg.img_max_w))
         fn = self._device_fn(*padded.shape[:2])
         packed, paf, heat = fn(self.variables, jnp.asarray(padded),
-                               jnp.float32(orig_h))
+                               jnp.float32(img_h_override or orig_h))
         return packed, paf, heat, (orig_h, orig_w)
 
     def _group(self, peaks_np: PeakTable, conns_np: Connections,
@@ -337,20 +339,49 @@ class Predictor:
                                jnp.float32(orig_h))
         return packed, paf, heat, (orig_h, orig_w)
 
+    def letterbox(self, img: np.ndarray) -> Tuple[np.ndarray, float]:
+        """Scale the longer side to ``boxsize`` and pad to a fixed square —
+        ONE compiled program for any input size (vs one per 64-bucket).
+        Returns (boxsize x boxsize uint8, scale applied)."""
+        import cv2
+        size = self.config.infer.boxsize
+        h, w = img.shape[:2]
+        scale = min(size / h, size / w)
+        resized = cv2.resize(img, (int(round(w * scale)), int(round(h * scale))),
+                             interpolation=cv2.INTER_CUBIC)
+        out = np.full((size, size, 3), self.config.infer.pad_value, np.uint8)
+        out[:resized.shape[0], :resized.shape[1]] = resized
+        return out, scale
+
     def predict_skeletons(self, img: np.ndarray, use_cpp: Optional[bool] = None,
                           scales: Optional[Tuple[float, ...]] = None,
-                          angles: Tuple[float, ...] = (0.0,)):
+                          angles: Tuple[float, ...] = (0.0,),
+                          fixed_size: bool = False):
         """Full pipeline -> (keypoints (N,18,3), scores (N,), aux dict).
-        Pass ``scales`` for multi-scale TTA (single-scale otherwise)."""
+        Pass ``scales`` for multi-scale TTA (single-scale otherwise);
+        ``fixed_size`` letterboxes into one boxsize^2 program (coordinates
+        are mapped back to the original image)."""
+        unscale = 1.0
+        img_h_override = None
+        if fixed_size:
+            orig_hw = img.shape[:2]
+            img, scale_applied = self.letterbox(img)
+            unscale = 1.0 / scale_applied
+            img_h_override = orig_hw[0] * scale_applied  # content height
         if scales is not None and (tuple(scales) != (1.0,) or angles != (0.0,)):
             packed, paf, heat, (orig_h, orig_w) = self.predict_maps_tta(
                 img, tuple(scales), tuple(angles))
         else:
-            packed, paf, heat, (orig_h, orig_w) = self.predict_maps(img)
+            packed, paf, heat, (orig_h, orig_w) = self.predict_maps(
+                img, img_h_override=img_h_override)
+        if fixed_size:
+            orig_h, orig_w = orig_hw
         buf = np.asarray(packed)              # the single D2H fetch
         peaks_np, conns_np = unpack_results(buf, self.config.infer.max_peaks)
         table, cands = self._group(peaks_np, conns_np, use_cpp)
         kps, scores = group.humans_to_keypoints(table, cands)
+        if unscale != 1.0:
+            kps[:, :, :2] *= unscale          # letterbox coords -> original
         aux = dict(paf=paf, heat=heat, peaks=peaks_np, person_table=table,
                    joint_candidates=cands, orig_hw=(orig_h, orig_w))
         return kps, scores, aux
