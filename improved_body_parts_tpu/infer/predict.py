@@ -38,7 +38,8 @@ from improved_body_parts_tpu.configs import (
 )
 from improved_body_parts_tpu.ops import group
 from improved_body_parts_tpu.ops.limbs import (
-    ConnectionCandidates, Connections, score_connections, select_connections,
+    ConnectionCandidates, Connections, connections_to_list, score_connections,
+    select_connections,
 )
 from improved_body_parts_tpu.ops.peaks import PeakTable, find_peaks
 
@@ -89,28 +90,6 @@ def unpack_results(buf: np.ndarray, P: int):
     conns = Connections(src_slot=src, dst_slot=dst, score=cscore,
                         limb_len=clen, valid=cvalid)
     return peaks, conns
-
-
-def connections_to_list(conns: Connections, P: int,
-                        limbs_conn) -> List[np.ndarray]:
-    """Device connection tables -> the reference list-of-(k,6) format
-    [src_peak_id, dst_peak_id, score, src_idx, dst_idx, limb_len] with
-    global peak id = joint_type * P + slot (for the host grouping stage)."""
-    out = []
-    for l, (fr, to) in enumerate(np.asarray(limbs_conn)):
-        m = np.asarray(conns.valid[l])
-        k = int(m.sum())
-        rows = np.zeros((k, 6), np.float64)
-        ss = np.asarray(conns.src_slot[l])[m]
-        ds = np.asarray(conns.dst_slot[l])[m]
-        rows[:, 0] = fr * P + ss
-        rows[:, 1] = to * P + ds
-        rows[:, 2] = np.asarray(conns.score[l])[m]
-        rows[:, 3] = ss
-        rows[:, 4] = ds
-        rows[:, 5] = np.asarray(conns.limb_len[l])[m]
-        out.append(rows)
-    return out
 
 
 # ---------------------------------------------------------------------------

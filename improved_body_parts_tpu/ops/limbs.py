@@ -234,23 +234,25 @@ def connections_to_numpy(conns: Connections, peaks, limbs_conn=LIMBS_CONN):
     """Convert device connection tables to the reference list-of-arrays format
     [(k,6): src_peak_id, dst_peak_id, score, src_idx, dst_idx, limb_len] with
     global peak id = joint_type * P + slot, for the host grouping stage."""
-    P = peaks.score.shape[1]
-    src_slot = np.asarray(conns.src_slot)
-    dst_slot = np.asarray(conns.dst_slot)
-    score = np.asarray(conns.score)
-    limb_len = np.asarray(conns.limb_len)
-    valid = np.asarray(conns.valid)
+    host = Connections(*(np.asarray(a) for a in conns))
+    return connections_to_list(host, peaks.score.shape[1], limbs_conn)
+
+
+def connections_to_list(conns: Connections, P: int, limbs_conn=LIMBS_CONN):
+    """Same as connections_to_numpy but for already-host-numpy tables
+    (the unpacked single-fetch path in infer/predict.py)."""
     out = []
     for l, (fr, to) in enumerate(np.asarray(limbs_conn)):
-        m = valid[l]
+        m = np.asarray(conns.valid[l])
         k = int(m.sum())
         rows = np.zeros((k, 6), np.float64)
-        ss, ds = src_slot[l][m], dst_slot[l][m]
+        ss = np.asarray(conns.src_slot[l])[m]
+        ds = np.asarray(conns.dst_slot[l])[m]
         rows[:, 0] = fr * P + ss
         rows[:, 1] = to * P + ds
-        rows[:, 2] = score[l][m]
+        rows[:, 2] = np.asarray(conns.score[l])[m]
         rows[:, 3] = ss
         rows[:, 4] = ds
-        rows[:, 5] = limb_len[l][m]
+        rows[:, 5] = np.asarray(conns.limb_len[l])[m]
         out.append(rows)
     return out

@@ -92,9 +92,6 @@ def _refine_bicubic(map2d: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
     flat_idx = jnp.argmax(patch_up)
     uy, ux = flat_idx // upsz, flat_idx % upsz
     score = patch_up.reshape(-1)[flat_idx]
-    # local peak position inside patch, mapped to upsampled coords
-    local = jnp.stack([cy - jnp.maximum(cy - win, 0),
-                       cx - jnp.maximum(cx - win, 0)]).astype(jnp.float32)
     # reference computes patch offsets wrt the clipped window origin
     y0 = jnp.maximum(cy - win, 0)
     x0 = jnp.maximum(cx - win, 0)
@@ -103,7 +100,6 @@ def _refine_bicubic(map2d: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
     base = resized_coords(jnp.stack([cy, cx]).astype(jnp.float32), up)
     y_img = base[0] + dyx[0]
     x_img = base[1] + dyx[1]
-    del local
     return x_img, y_img, score
 
 
