@@ -39,6 +39,12 @@ def main():
     parser.add_argument("--swa", action="store_true", help="stochastic weight averaging")
     parser.add_argument("--swa-start-epoch", type=int, default=0)
     parser.add_argument("--loss", choices=["focal", "l2"], default="focal")
+    parser.add_argument("--lr", type=float, default=0.0,
+                        help="override base learning rate (0 = config value)")
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="disable the 3-epoch linear LR warmup")
+    parser.add_argument("--workers", type=int, default=4,
+                        help="host data-prefetch threads (0 = synchronous)")
     parser.add_argument("--max_grad_norm", type=float, default=0.0)
     parser.add_argument("--print-freq", type=int, default=20)
     parser.add_argument("--tiny-model", action="store_true",
@@ -71,6 +77,7 @@ def main():
         swa=args.swa,
         max_grad_norm=args.max_grad_norm,
         batch_size=args.batch_size or config.train.batch_size,
+        learning_rate=args.lr or config.train.learning_rate,
     )
     config = dataclasses.replace(config, train=tcfg)
     image_size = args.image_size or config.height
@@ -113,6 +120,10 @@ def main():
         val_ds = SyntheticDataset(config, length=64, seed=999,
                                   image_size=image_size)
 
+    if args.workers > 0:
+        from improved_body_parts_tpu.data.prefetch import PrefetchingLoader
+        train_ds = PrefetchingLoader(train_ds, num_workers=args.workers)
+
     steps = args.steps_per_epoch or max(len(train_ds) // global_batch, 1)
     train_step = train_lib.make_train_step(model, config,
                                            use_focal=args.loss == "focal")
@@ -131,7 +142,8 @@ def main():
                 # cyclic LR while averaging (train_distributed_SWA.py:365-371)
                 lr = train_lib.cyclic_learning_rate(tcfg, epoch, args.swa_start_epoch)
             else:
-                lr = train_lib.learning_rate(tcfg, epoch, step, steps, n_dev)
+                lr = train_lib.learning_rate(tcfg, epoch, step, steps, n_dev,
+                                             use_warmup=not args.no_warmup)
             batch = mesh_lib.shard_batch(mesh, (jnp.asarray(imgs),
                                                 jnp.asarray(masks),
                                                 jnp.asarray(heats)))
