@@ -121,10 +121,22 @@ def main():
             print(f"skip unreadable {path}")
             continue
         t0 = time.time()
+        scales = None
+        if args.scale_search:
+            if args.letterbox:
+                # letterboxed content height ~= boxsize, so the reference's
+                # multiplier = scale * boxsize / img_h reduces to scale itself
+                scales = tuple(args.scale_search)
+            else:
+                # reference protocol (parse_skeletons.py:186): normalize by
+                # boxsize/img_h; quantize to 1/4 steps to bound XLA programs
+                boxsize = 512
+                scales = tuple(sorted({
+                    max(round(s * boxsize / img.shape[0] * 4) / 4, 0.25)
+                    for s in args.scale_search}))
         kps, scores, _ = predictor.predict_skeletons(
             img, use_cpp=True if args.run_cpp else None,
-            scales=tuple(args.scale_search) if args.scale_search else None,
-            fixed_size=args.letterbox)
+            scales=scales, fixed_size=args.letterbox)
         meter.update(time.time() - t0)
         append_result(image_id, kps, scores, all_outputs)
         if args.show_eval_speed and n % 50 == 0:

@@ -40,6 +40,19 @@ class PrefetchingLoader:
 
         stop = threading.Event()
 
+        # per-work-item rng seeds so augmenting datasets (CocoH5Dataset)
+        # draw FRESH augmentations every epoch, matching the synchronous
+        # ``batches`` path; index-deterministic datasets ignore the rng
+        seed_rng = np.random.RandomState(seed ^ 0x5F5E100)
+        item_seeds = [int(seed_rng.randint(2 ** 31)) for _ in range(steps * batch_size)]
+
+        def fetch(step, slot, i):
+            s = item_seeds[step * batch_size + slot]
+            try:
+                return self.dataset.__getitem__(i, np.random.RandomState(s))
+            except TypeError:  # dataset without an rng parameter
+                return self.dataset[i]
+
         def worker():
             while not stop.is_set():
                 try:
@@ -47,7 +60,7 @@ class PrefetchingLoader:
                 except queue.Empty:
                     return
                 try:
-                    sample_q.put((step, slot, self.dataset[i]))
+                    sample_q.put((step, slot, fetch(step, slot, i)))
                 except Exception as e:  # surface dataset errors to consumer
                     sample_q.put((step, slot, e))
 

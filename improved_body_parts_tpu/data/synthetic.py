@@ -77,11 +77,16 @@ class SyntheticDataset:
 
     def __init__(self, config: CanonicalConfig = CanonicalConfig(),
                  length: int = 512, seed: int = 0, image_size: int | None = None):
+        import dataclasses
+        self.size = image_size or config.height
+        # the heatmapper grid must span exactly the rendered image, otherwise
+        # ground truth is spatially mis-scaled vs the network output
+        if self.size != config.height or self.size != config.width:
+            config = dataclasses.replace(config, width=self.size, height=self.size)
         self.config = config
         self.length = length
         self.seed = seed
         self.hm = Heatmapper(config)
-        self.size = image_size or config.height
 
     def __len__(self) -> int:
         return self.length

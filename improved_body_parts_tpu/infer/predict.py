@@ -246,8 +246,11 @@ class Predictor:
                         x = img_p
                     avg = self._flip_avg_maps(variables, x[None])[0]
                     if ang != 0.0:
-                        inv_back = rotation_matrix(
-                            (avg.shape[1] / 2.0, avg.shape[0] / 2.0), ang)
+                        # the image-space rotation center (pw/2, ph/2) maps to
+                        # stride coords via the half-pixel convention
+                        cx_s = (pw / 2.0 + 0.5) / self.config.stride - 0.5
+                        cy_s = (ph / 2.0 + 0.5) / self.config.stride - 0.5
+                        inv_back = rotation_matrix((cx_s, cy_s), ang)
                         avg = affine_warp(avg, inv_back)
                     vh = max(int(round(sh / self.config.stride)), 1)
                     vw = max(int(round(sw / self.config.stride)), 1)
@@ -294,17 +297,23 @@ class Predictor:
         cands = group.build_joint_candidates(
             peaks_np.xy, peaks_np.score, peaks_np.valid)
         if use_cpp is None or use_cpp:
+            # fall back to numpy only when the C++ library is UNAVAILABLE
+            # (no compiler); genuine runtime failures must propagate
             try:
                 from improved_body_parts_tpu.ops import group_cpp
-                return group_cpp.find_humans(connected, cands, self.config.infer)
+                available = group_cpp.is_available()
             except Exception:
-                if use_cpp:
-                    raise
+                available = False
+            if available:
+                return group_cpp.find_humans(connected, cands, self.config.infer)
+            if use_cpp:
+                raise RuntimeError("C++ grouping requested but unavailable")
         return group.find_humans(connected, cands, self.config.infer)
 
     def predict_maps_tta(self, img: np.ndarray,
                          scales: Tuple[float, ...] = (0.5, 1.0, 1.5, 2.0),
-                         angles: Tuple[float, ...] = (0.0,)):
+                         angles: Tuple[float, ...] = (0.0,),
+                         img_h_override: Optional[float] = None):
         """Multi-scale / rotation TTA path. ``scales`` multiply the padded
         input size (the reference scales by boxsize/img_h * scale_search;
         pass those factors here). Returns (packed, paf, heat, (h, w))."""
@@ -315,7 +324,7 @@ class Predictor:
         fn = self._device_fn_tta(padded.shape[0], padded.shape[1],
                                  tuple(scales), tuple(angles))
         packed, paf, heat = fn(self.variables, jnp.asarray(padded),
-                               jnp.float32(orig_h))
+                               jnp.float32(img_h_override or orig_h))
         return packed, paf, heat, (orig_h, orig_w)
 
     def letterbox(self, img: np.ndarray) -> Tuple[np.ndarray, float]:
@@ -347,9 +356,11 @@ class Predictor:
             img, scale_applied = self.letterbox(img)
             unscale = 1.0 / scale_applied
             img_h_override = orig_hw[0] * scale_applied  # content height
-        if scales is not None and (tuple(scales) != (1.0,) or angles != (0.0,)):
+        scales_t = tuple(scales) if scales is not None else (1.0,)
+        angles_t = tuple(angles)
+        if scales_t != (1.0,) or angles_t != (0.0,):
             packed, paf, heat, (orig_h, orig_w) = self.predict_maps_tta(
-                img, tuple(scales), tuple(angles))
+                img, scales_t, angles_t, img_h_override=img_h_override)
         else:
             packed, paf, heat, (orig_h, orig_w) = self.predict_maps(
                 img, img_h_override=img_h_override)

@@ -135,11 +135,8 @@ def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
     """
     h, w, k = heat.shape
     chan_first = jnp.moveaxis(heat, -1, 0)                 # (K, H, W)
-    if jax.default_backend() == "tpu":
-        from improved_body_parts_tpu.ops.pallas_kernels import nms_pallas
-        nmsed = nms_pallas(chan_first, thre)               # fused VMEM kernel
-    else:
-        nmsed = heatmap_nms(chan_first, thre)              # (K, H, W)
+    from improved_body_parts_tpu.ops.pallas_kernels import nms
+    nmsed = nms(chan_first, thre)      # Pallas kernel on TPU, XLA elsewhere
 
     flat = nmsed.reshape(k, h * w)
     top_scores, top_idx = lax.top_k(flat, max_peaks)       # (K, P)
