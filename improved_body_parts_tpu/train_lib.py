@@ -84,20 +84,30 @@ def cyclic_learning_rate(cfg: TrainConfig, epoch: int, start_epoch: int) -> floa
 
 
 def make_train_step(model, cfg: CanonicalConfig, use_focal: bool = True,
-                    donate: bool = True):
+                    donate: bool = True, freeze_bn: bool = False):
     """Build the jitted train step: (state, imgs, mask, heat, lr) -> (state, metrics).
 
     imgs: (B, H, W, 3); mask: (B, H/4, W/4, 1); heat: (B, H/4, W/4, 50).
+    ``freeze_bn`` runs BatchNorm in inference mode and keeps running stats
+    fixed — the reference freezes BN during SWA epochs via
+    ``model.apply(set_bn_eval)`` (train_distributed_SWA.py:221,
+    utils/util.py:216-225).
     """
     tcfg = cfg.train
     tx = make_optimizer(tcfg)
 
     def loss_fn(params, batch_stats, imgs, heat, mask):
-        outs, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            imgs, train=True, mutable=["batch_stats"])
+        if freeze_bn:
+            outs = model.apply({"params": params, "batch_stats": batch_stats},
+                               imgs, train=False)
+            new_bs = batch_stats
+        else:
+            outs, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                imgs, train=True, mutable=["batch_stats"])
+            new_bs = mutated["batch_stats"]
         loss = multi_task_loss(outs, heat, mask, tcfg, use_focal=use_focal)
-        return loss, mutated["batch_stats"]
+        return loss, new_bs
 
     def step_fn(state: TrainState, imgs, mask, heat, lr):
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(

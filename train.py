@@ -49,6 +49,8 @@ def main():
     parser.add_argument("--print-freq", type=int, default=20)
     parser.add_argument("--tiny-model", action="store_true",
                         help="small IMHN for smoke tests")
+    parser.add_argument("--model", choices=["imhn", "ae"], default="imhn",
+                        help="model family: IMHN (default) or AE stacked hourglass")
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed (multi-host pods)")
     parser.add_argument("--coordinator", default=None,
@@ -90,7 +92,11 @@ def main():
 
     mcfg = (ModelConfig(nstack=2, inp_dim=64, increase=32)
             if args.tiny_model else config.model)
-    model = create_model(mcfg, dtype=jnp.bfloat16)
+    if args.model == "ae":
+        from improved_body_parts_tpu.models.ae_pose import AEPoseNet
+        model = AEPoseNet(cfg=mcfg, dtype=jnp.bfloat16)
+    else:
+        model = create_model(mcfg, dtype=jnp.bfloat16)
     params, batch_stats = init_model(model, jax.random.PRNGKey(0),
                                      image_size, image_size)
     state = train_lib.create_train_state(params, batch_stats, tcfg)
@@ -127,6 +133,11 @@ def main():
     steps = args.steps_per_epoch or max(len(train_ds) // global_batch, 1)
     train_step = train_lib.make_train_step(model, config,
                                            use_focal=args.loss == "focal")
+    # SWA epochs run with frozen BatchNorm (train_distributed_SWA.py:221)
+    swa_step = (train_lib.make_train_step(model, config,
+                                          use_focal=args.loss == "focal",
+                                          freeze_bn=True)
+                if args.swa else None)
     eval_step = train_lib.make_eval_step(model, config,
                                          use_focal=args.loss == "focal")
 
@@ -147,8 +158,9 @@ def main():
             batch = mesh_lib.shard_batch(mesh, (jnp.asarray(imgs),
                                                 jnp.asarray(masks),
                                                 jnp.asarray(heats)))
-            state, metrics = train_step(state, batch[0], batch[1], batch[2],
-                                        jnp.float32(lr))
+            active_step = swa_step if (swa_active and swa_step) else train_step
+            state, metrics = active_step(state, batch[0], batch[1], batch[2],
+                                         jnp.float32(lr))
             if step % args.print_freq == 0:
                 loss = float(metrics["loss"])
                 losses.append(loss)
