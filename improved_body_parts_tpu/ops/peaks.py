@@ -74,12 +74,24 @@ def _gather_patch(map2d: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
     return patch, inb
 
 
+def _cubic_upsample_basis(size: int, up: int) -> jnp.ndarray:
+    """(size^2, (size*up)^2) matrix equal to jax.image.resize(..., 'cubic')
+    on a size x size patch. Cubic resize is linear in the input, so the
+    operator is materialized exactly by resizing the canonical basis —
+    turning the per-peak patch upsample into ONE batched MXU matmul."""
+    eye = jnp.eye(size * size, dtype=jnp.float32).reshape(size * size, size, size)
+    basis = jax.vmap(lambda p: jax.image.resize(
+        p, (size * up, size * up), method="cubic"))(eye)
+    return basis.reshape(size * size, (size * up) ** 2)
+
+
 def _refine_bicubic(map2d: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
                     stride: int):
     """Bicubic 5x5-patch argmax refinement into image coordinates.
 
     reference: parse_skeletons.py:141-173 (win_size=2, upsample by stride).
-    Returns (x_img, y_img, score)."""
+    The patch upsample runs through the precomputed linear basis (exactly
+    jax.image.resize cubic). Returns (x_img, y_img, score)."""
     win = 2
     up = stride
     patch, inb = _gather_patch(map2d, cy, cx, win)
@@ -88,10 +100,12 @@ def _refine_bicubic(map2d: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
     patch = jnp.where(inb, patch, patch.min())
     size = 2 * win + 1
     upsz = size * up
-    patch_up = jax.image.resize(patch, (upsz, upsz), method="cubic")
+    basis = _cubic_upsample_basis(size, up)          # folded to a constant
+    patch_up = jnp.dot(patch.reshape(-1), basis,
+                       preferred_element_type=jnp.float32)
     flat_idx = jnp.argmax(patch_up)
     uy, ux = flat_idx // upsz, flat_idx % upsz
-    score = patch_up.reshape(-1)[flat_idx]
+    score = patch_up[flat_idx]
     # reference computes patch offsets wrt the clipped window origin
     y0 = jnp.maximum(cy - win, 0)
     x0 = jnp.maximum(cx - win, 0)
