@@ -121,6 +121,8 @@ class ModelConfig:
     # variant switches (reference ablation family, SURVEY C21):
     cross_stack: bool = True        # False = posenet_independent.py (no skips)
     extra_attention: bool = False   # True = posenet_final.py channel_attention
+    remat: bool = False             # rematerialize hourglass activations
+                                    # (trades ~30% step time for ~2x batch)
 
 
 @dataclasses.dataclass(frozen=True)

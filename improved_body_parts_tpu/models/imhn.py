@@ -244,9 +244,13 @@ class PoseNet(nn.Module):
 
         preds: List[List[jnp.ndarray]] = []
         feat_caches: List[Optional[jnp.ndarray]] = [None] * cfg.num_scales
+        # rematerialize each hourglass in the backward pass to fit larger
+        # batches in HBM (jax.checkpoint; TPU memory/FLOPs trade)
+        HG = (nn.remat(Hourglass, static_argnums=(2,)) if cfg.remat
+              else Hourglass)
         for t in range(cfg.nstack):
-            hg_outs = Hourglass(depth=cfg.depth, nfeat=cfg.inp_dim,
-                                increase=cfg.increase, name=f"hg{t}", **kw)(x, train)
+            hg_outs = HG(depth=cfg.depth, nfeat=cfg.inp_dim,
+                         increase=cfg.increase, name=f"hg{t}", **kw)(x, train)
             if cfg.extra_attention:
                 # per-scale channel attention on hourglass outputs
                 # (reference posenet_final.py variant)

@@ -51,6 +51,9 @@ def main():
                         help="small IMHN for smoke tests")
     parser.add_argument("--model", choices=["imhn", "ae"], default="imhn",
                         help="model family: IMHN (default) or AE stacked hourglass")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize hourglass activations "
+                             "(~2x batch in HBM for ~6%% step time)")
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed (multi-host pods)")
     parser.add_argument("--coordinator", default=None,
@@ -92,6 +95,8 @@ def main():
 
     mcfg = (ModelConfig(nstack=2, inp_dim=64, increase=32)
             if args.tiny_model else config.model)
+    if args.remat:
+        mcfg = dataclasses.replace(mcfg, remat=True)
     if args.model == "ae":
         from improved_body_parts_tpu.models.ae_pose import AEPoseNet
         model = AEPoseNet(cfg=mcfg, dtype=jnp.bfloat16)
