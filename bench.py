@@ -60,19 +60,19 @@ def bench_host_grouping(config, iters: int = 50) -> float:
                              thre2=icfg.thre2, connect_ration=icfg.connect_ration)
     conns = select_connections(cand, peaks.valid)
     connected = connections_to_numpy(conns, peaks)
-    cands = group.build_joint_candidates(np.asarray(peaks.xy),
-                                         np.asarray(peaks.score),
-                                         np.asarray(peaks.valid))
-    try:
-        from improved_body_parts_tpu.ops import group_cpp
-        grouper = lambda: group_cpp.find_humans(connected, cands.copy(), icfg)
-    except Exception:
-        grouper = lambda: group.find_humans(connected, cands.copy(), icfg)
+    from improved_body_parts_tpu.ops import group_cpp
+    use_cpp = group_cpp.is_available()
+    grouper = (group_cpp.find_humans if use_cpp else group.find_humans)
 
+    peaks_xy = np.asarray(peaks.xy)
+    peaks_score = np.asarray(peaks.score)
+    peaks_valid = np.asarray(peaks.valid)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        table, jc = grouper()
+        # the FULL per-frame host work of the real pipeline (predict._group)
+        c = group.build_joint_candidates(peaks_xy, peaks_score, peaks_valid)
+        table, jc = grouper(connected, c, icfg)
         group.humans_to_keypoints(table, jc)
         times.append(time.perf_counter() - t0)
     return float(np.median(times))

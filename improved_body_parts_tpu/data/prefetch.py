@@ -3,11 +3,17 @@ heatmaps) samples ahead of the device step.
 
 The reference keeps the TPU fed with N DataLoader worker processes
 (train_distributed.py:213-226, num_workers=2, ~40 samples/s/proc per
-README.md:50); here a thread pool + bounded queue plays that role (the
-heavy work — cv2 warps, numpy heatmaps — releases the GIL)."""
+README.md:50); here a thread pool + a sliding work window plays that role
+(the heavy work — cv2 warps, numpy heatmaps — releases the GIL).
+
+Backpressure: work items are released at most ``queue_depth`` steps ahead
+of the step being consumed, so host memory holds O(queue_depth x batch)
+decoded samples no matter how skewed individual sample latencies are.
+"""
 
 from __future__ import annotations
 
+import inspect
 import queue
 import threading
 from typing import Iterator, Tuple
@@ -15,14 +21,26 @@ from typing import Iterator, Tuple
 import numpy as np
 
 
+def _supports_rng(dataset) -> bool:
+    """Whether dataset.__getitem__ accepts an rng argument (checked once —
+    a try/except around the call would misread dataset-internal TypeErrors
+    as 'no rng parameter')."""
+    try:
+        sig = inspect.signature(dataset.__getitem__)
+    except (TypeError, ValueError):
+        return False
+    return len(sig.parameters) >= 2
+
+
 class PrefetchingLoader:
     """Wraps a dataset with __getitem__ -> (img, mask, heat) into a
     prefetched batch iterator with the same ``batches`` contract."""
 
-    def __init__(self, dataset, num_workers: int = 4, queue_depth: int = 8):
+    def __init__(self, dataset, num_workers: int = 4, queue_depth: int = 4):
         self.dataset = dataset
         self.num_workers = max(1, num_workers)
-        self.queue_depth = queue_depth
+        self.queue_depth = max(1, queue_depth)
+        self._rng_ok = _supports_rng(dataset)
 
     def __len__(self):
         return len(self.dataset)
@@ -32,37 +50,50 @@ class PrefetchingLoader:
         rng = np.random.RandomState(seed)
         idx_plan = [rng.randint(0, len(self.dataset), batch_size)
                     for _ in range(steps)]
-        sample_q: "queue.Queue" = queue.Queue(self.queue_depth * batch_size)
-        work_q: "queue.Queue" = queue.Queue()
-        for step, idxs in enumerate(idx_plan):
-            for slot, i in enumerate(idxs):
-                work_q.put((step, slot, int(i)))
+        # per-work-item rng seeds so augmenting datasets (CocoH5Dataset)
+        # draw FRESH augmentations every epoch, matching the synchronous path
+        seed_rng = np.random.RandomState(seed ^ 0x5F5E100)
+        item_seeds = [int(seed_rng.randint(2 ** 31))
+                      for _ in range(steps * batch_size)]
 
+        sample_q: "queue.Queue" = queue.Queue()
+        work_q: "queue.Queue" = queue.Queue()
         stop = threading.Event()
 
-        # per-work-item rng seeds so augmenting datasets (CocoH5Dataset)
-        # draw FRESH augmentations every epoch, matching the synchronous
-        # ``batches`` path; index-deterministic datasets ignore the rng
-        seed_rng = np.random.RandomState(seed ^ 0x5F5E100)
-        item_seeds = [int(seed_rng.randint(2 ** 31)) for _ in range(steps * batch_size)]
+        def release(step):
+            for slot, i in enumerate(idx_plan[step]):
+                work_q.put((step, slot, int(i)))
+
+        # sliding window: at most queue_depth steps of work outstanding
+        window = min(self.queue_depth, steps)
+        for s in range(window):
+            release(s)
 
         def fetch(step, slot, i):
-            s = item_seeds[step * batch_size + slot]
-            try:
+            if self._rng_ok:
+                s = item_seeds[step * batch_size + slot]
                 return self.dataset.__getitem__(i, np.random.RandomState(s))
-            except TypeError:  # dataset without an rng parameter
-                return self.dataset[i]
+            return self.dataset[i]
 
         def worker():
             while not stop.is_set():
                 try:
                     step, slot, i = work_q.get(timeout=0.2)
                 except queue.Empty:
-                    return
+                    if stop.is_set():
+                        return
+                    continue
                 try:
-                    sample_q.put((step, slot, fetch(step, slot, i)))
+                    item = (step, slot, fetch(step, slot, i))
                 except Exception as e:  # surface dataset errors to consumer
-                    sample_q.put((step, slot, e))
+                    item = (step, slot, e)
+                # bounded retry-put so a shut-down consumer can't pin us
+                while not stop.is_set():
+                    try:
+                        sample_q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -74,9 +105,7 @@ class PrefetchingLoader:
             for step in range(steps):
                 got = 0
                 buf = [None] * batch_size
-                # drain previously received samples for this step
-                ready = pending.pop(step, [])
-                for slot, s in ready:
+                for slot, s in pending.pop(step, []):
                     buf[slot] = s
                     got += 1
                 while got < batch_size:
@@ -88,6 +117,8 @@ class PrefetchingLoader:
                         got += 1
                     else:
                         pending.setdefault(s_step, []).append((slot, s))
+                if step + window < steps:
+                    release(step + window)
                 yield (np.stack([b[0] for b in buf]),
                        np.stack([b[1] for b in buf]),
                        np.stack([b[2] for b in buf]))

@@ -80,6 +80,8 @@ def cyclic_learning_rate(cfg: TrainConfig, epoch: int, start_epoch: int) -> floa
     """SWA cyclic LR. reference: train_distributed.py:417-423."""
     e = epoch - start_epoch
     f = cfg.swa_freq_epochs
+    if f <= 1:
+        return cfg.swa_lr_min
     return cfg.swa_lr_max - (cfg.swa_lr_max - cfg.swa_lr_min) / (f - 1) * (e - e // f * f)
 
 

@@ -38,6 +38,8 @@ def main():
     parser.add_argument("--val-h5", default="", help="COCO val hdf5")
     parser.add_argument("--swa", action="store_true", help="stochastic weight averaging")
     parser.add_argument("--swa-start-epoch", type=int, default=0)
+    parser.add_argument("--swa-freq", type=int, default=0,
+                        help="epochs per SWA cycle (0 = config default, 5)")
     parser.add_argument("--loss", choices=["focal", "l2"], default="focal")
     parser.add_argument("--lr", type=float, default=0.0,
                         help="override base learning rate (0 = config value)")
@@ -83,6 +85,7 @@ def main():
         max_grad_norm=args.max_grad_norm,
         batch_size=args.batch_size or config.train.batch_size,
         learning_rate=args.lr or config.train.learning_rate,
+        swa_freq_epochs=args.swa_freq or config.train.swa_freq_epochs,
     )
     config = dataclasses.replace(config, train=tcfg)
     image_size = args.image_size or config.height
@@ -115,6 +118,10 @@ def main():
             params=restored["params"], batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             step=jnp.asarray(restored["step"], jnp.int32))
+        if args.swa and "swa_params" in restored:
+            state = state._replace(
+                swa_params=restored["swa_params"],
+                swa_count=jnp.asarray(restored["swa_count"], jnp.int32))
         start_epoch = int(restored["epoch"]) + 1
         print(f"resumed from epoch {start_epoch - 1}")
 
@@ -147,10 +154,11 @@ def main():
                                          use_focal=args.loss == "focal")
 
     log_path = os.path.join(args.checkpoint_path, "log")
-    best_loss = float("inf")
     for epoch in range(start_epoch, args.epochs):
         t_epoch = time.time()
-        losses, skipped = [], 0
+        # device-side metric accumulation: materializing per-step scalars
+        # would force a host sync every step and kill async dispatch
+        loss_accs, skip_accs = [], []
         swa_active = args.swa and epoch >= args.swa_start_epoch
         for step, (imgs, masks, heats) in enumerate(
                 train_ds.batches(global_batch, steps, seed=epoch)):
@@ -166,15 +174,20 @@ def main():
             active_step = swa_step if (swa_active and swa_step) else train_step
             state, metrics = active_step(state, batch[0], batch[1], batch[2],
                                          jnp.float32(lr))
+            loss_accs.append(metrics["loss"])
+            skip_accs.append(metrics["skipped"])
             if step % args.print_freq == 0:
-                loss = float(metrics["loss"])
-                losses.append(loss)
+                loss = float(metrics["loss"])  # sync only every print_freq
                 print(f"epoch {epoch} step {step}/{steps} loss {loss:.4f} "
                       f"lr {lr:.2e} gnorm {float(metrics['grad_norm']):.2f}")
-            skipped += int(float(metrics["skipped"]))
+        epoch_losses = np.asarray(jnp.stack(loss_accs))  # one fetch
+        skipped = int(np.asarray(jnp.stack(skip_accs)).sum())
 
-        if args.swa and epoch >= args.swa_start_epoch and \
-                (epoch - args.swa_start_epoch) % tcfg.swa_freq_epochs == 0:
+        # SWA snapshot at the LOW point of each cyclic-LR cycle
+        # (train_distributed_SWA.py: '% swa_freq == swa_freq - 1')
+        if swa_active and \
+                (epoch - args.swa_start_epoch) % tcfg.swa_freq_epochs == \
+                tcfg.swa_freq_epochs - 1:
             state = train_lib.swa_update(state)
             print(f"SWA accumulate #{int(state.swa_count)}")
 
@@ -188,7 +201,7 @@ def main():
                                                     jnp.asarray(heats)))
                 val_losses.append(float(eval_step(state.params, state.batch_stats,
                                                   batch[0], batch[1], batch[2])))
-        train_loss = float(np.mean(losses)) if losses else float("nan")
+        train_loss = float(epoch_losses.mean()) if len(epoch_losses) else float("nan")
         val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
         dt = time.time() - t_epoch
         print(f"=== epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f} "
@@ -196,13 +209,28 @@ def main():
         with open(log_path, "a") as f:
             f.write(f"Epoch {epoch}\ttrain_loss: {train_loss}\tval_loss: {val_loss}\n")
 
-        ckpt_lib.save_train_state(ckpt_dir, {
+        ckpt_payload = {
             "params": state.params, "batch_stats": state.batch_stats,
             "opt_state": state.opt_state, "step": int(state.step),
             "epoch": epoch, "train_loss": train_loss,
-        }, step=epoch)
-        if train_loss < best_loss:
-            best_loss = train_loss
+        }
+        if args.swa and state.swa_params is not None:
+            ckpt_payload["swa_params"] = state.swa_params
+            ckpt_payload["swa_count"] = int(state.swa_count)
+        ckpt_lib.save_train_state(ckpt_dir, ckpt_payload, step=epoch)
+
+    if args.swa and int(state.swa_count) > 0:
+        # publish the averaged model (reference swap_swa_sgd before the final
+        # save, train_distributed_SWA.py:403-424)
+        state = train_lib.swa_swap(state)
+        swa_dir = os.path.join(args.checkpoint_path, "orbax_swa")
+        ckpt_lib.save_train_state(swa_dir, {
+            "params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": int(state.step),
+            "epoch": args.epochs - 1, "swa_count": int(state.swa_count),
+        }, step=args.epochs - 1)
+        print(f"wrote SWA-averaged model ({int(state.swa_count)} snapshots) "
+              f"to {swa_dir}")
     print("done")
 
 
