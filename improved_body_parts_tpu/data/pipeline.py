@@ -112,18 +112,21 @@ class Transformer:
         assert scale_provided != 0, "scale_provided is zero"
         M, _ = aug.affine(objpos, scale_provided, cfg)
 
-        img = cv2.warpAffine(img, M, (cfg.height, cfg.width),
+        # cv2 dsize is (width, height); mask_shape is stored (h, w)
+        dsize = (cfg.width, cfg.height)
+        mask_dsize = cfg.mask_shape[::-1]
+        img = cv2.warpAffine(img, M, dsize,
                              flags=cv2.INTER_LINEAR,
                              borderMode=cv2.BORDER_CONSTANT,
                              borderValue=(124, 127, 127))
-        mask_miss = cv2.warpAffine(mask_miss, M, (cfg.height, cfg.width),
+        mask_miss = cv2.warpAffine(mask_miss, M, dsize,
                                    flags=cv2.INTER_LINEAR,
                                    borderMode=cv2.BORDER_CONSTANT, borderValue=255)
-        mask_miss = cv2.resize(mask_miss, cfg.mask_shape, interpolation=cv2.INTER_AREA)
-        mask_all = cv2.warpAffine(mask_all, M, (cfg.height, cfg.width),
+        mask_miss = cv2.resize(mask_miss, mask_dsize, interpolation=cv2.INTER_AREA)
+        mask_all = cv2.warpAffine(mask_all, M, dsize,
                                   flags=cv2.INTER_LINEAR,
                                   borderMode=cv2.BORDER_CONSTANT, borderValue=0)
-        mask_all = cv2.resize(mask_all, cfg.mask_shape, interpolation=cv2.INTER_AREA)
+        mask_all = cv2.resize(mask_all, mask_dsize, interpolation=cv2.INTER_AREA)
 
         # warp joint coordinates with the same matrix (homogeneous column 1)
         joints = joints.copy()

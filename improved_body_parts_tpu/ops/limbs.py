@@ -83,6 +83,44 @@ def _interp_weights(coord: jnp.ndarray, size: int) -> jnp.ndarray:
     return lo * (1.0 - f) + hi * f
 
 
+def _cubic_weights_rows(coord: jnp.ndarray, size: int, a: float) -> jnp.ndarray:
+    """(N,) float coords -> (N, size) dense Keys-cubic weight rows (four
+    non-zeros per row, taps clamped to the border so colliding taps sum —
+    exactly cv2's replicate border)."""
+    c0 = jnp.floor(coord)
+    f = (coord - c0)[:, None]
+    # Keys kernel weights for taps at offsets -1, 0, 1, 2 from c0
+    t = jnp.concatenate([1.0 + f, f, 1.0 - f, 2.0 - f], axis=1)  # (N, 4)
+    at = jnp.abs(t)
+    near = (a + 2) * at ** 3 - (a + 3) * at ** 2 + 1
+    far = a * (at ** 3 - 5 * at ** 2 + 8 * at - 4)
+    w = jnp.where(at <= 1.0, near, far)                          # (N, 4)
+    idx = jax.lax.broadcasted_iota(jnp.float32, (1, size), 1)
+    rows = jnp.zeros((coord.shape[0], size), jnp.float32)
+    for k in range(4):
+        tap = jnp.clip(c0 + (k - 1), 0, size - 1)[:, None]
+        rows = rows + (idx == tap).astype(jnp.float32) * w[:, k:k + 1]
+    return rows
+
+
+def cubic_sample_matmul(map2d: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                        a: float) -> jnp.ndarray:
+    """Separable Keys-cubic sampling as two dense contractions on the MXU
+    (same trick as ``bilinear_sample_matmul``, 4 taps per axis). With
+    a=-0.75 and coords mapped by the half-pixel convention this equals
+    reading the cv2.resize(INTER_CUBIC)-upsampled map — without ever
+    materialising it."""
+    h, w = map2d.shape
+    shape = x.shape
+    ex = _cubic_weights_rows(x.reshape(-1), w, a)     # (N, W)
+    ey = _cubic_weights_rows(y.reshape(-1), h, a)     # (N, H)
+    rows = jax.lax.dot_general(ey, map2d.astype(jnp.float32),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (N, W)
+    samples = jnp.sum(rows * ex, axis=-1)
+    return samples.reshape(shape)
+
+
 def bilinear_sample_matmul(map2d: jnp.ndarray, x: jnp.ndarray,
                            y: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sampling as two dense contractions on the MXU.
@@ -104,7 +142,7 @@ def bilinear_sample_matmul(map2d: jnp.ndarray, x: jnp.ndarray,
     return samples.reshape(shape)
 
 
-@functools.partial(jax.jit, static_argnames=("mid_num", "stride"))
+@functools.partial(jax.jit, static_argnames=("mid_num", "stride", "sampling"))
 def score_connections(paf: jnp.ndarray,
                       peaks_xy: jnp.ndarray,
                       peaks_score: jnp.ndarray,
@@ -114,7 +152,8 @@ def score_connections(paf: jnp.ndarray,
                       mid_num: int = 20,
                       stride: int = 4,
                       thre2: float = 0.1,
-                      connect_ration: float = 0.8) -> ConnectionCandidates:
+                      connect_ration: float = 0.8,
+                      sampling: str = "reference") -> ConnectionCandidates:
     """Score all candidate limbs.
 
     paf:         (h, w, L) stride-resolution limb heatmaps (L=30).
@@ -122,6 +161,15 @@ def score_connections(paf: jnp.ndarray,
     peaks_score: (K, P); peaks_valid: (K, P) bool.
     img_h:       scalar — ORIGINAL image height (length-penalty prior,
                  parse_skeletons.py:367).
+    sampling:    "reference" (default) reproduces the reference exactly:
+                 n = min(round(len + 1), mid_num) points, coordinates
+                 ROUNDED to integer pixels of the x4 cv2-INTER_CUBIC
+                 upsampled paf map (parse_skeletons.py:353-363), read by
+                 an equivalent on-the-fly cubic sampler — the upsampled
+                 map is never materialised. "bilinear" is the fast
+                 approximation: n = min(round(len) + 1, mid_num) (>= 2)
+                 exact sub-pixel positions, bilinear reads of the stride
+                 map.
     """
     limbs = jnp.asarray(LIMBS_CONN)                     # (L, 2)
     src_xy = peaks_xy[limbs[:, 0]]                      # (L, P, 2)
@@ -134,25 +182,38 @@ def score_connections(paf: jnp.ndarray,
     diff = dst_xy[:, None, :, :] - src_xy[:, :, None, :]     # (L, P, P, 2)
     limb_len = jnp.sqrt(jnp.sum(jnp.square(diff), axis=-1))  # (L, P, P)
 
-    # n = min(round(len)+1, mid_num) sample points (parse_skeletons.py:353)
-    n_samples = jnp.minimum(jnp.round(limb_len) + 1, mid_num).astype(jnp.int32)
-    n_samples = jnp.maximum(n_samples, 2)
+    if sampling == "reference":
+        # n = min(round(len + 1), mid_num), as low as 1 (linspace(num=1)
+        # degenerates to the src point) — parse_skeletons.py:353
+        n_samples = jnp.minimum(jnp.round(limb_len + 1), mid_num).astype(jnp.int32)
+        n_samples = jnp.maximum(n_samples, 1)
+    else:
+        n_samples = jnp.minimum(jnp.round(limb_len) + 1, mid_num).astype(jnp.int32)
+        n_samples = jnp.maximum(n_samples, 2)
     slot = jnp.arange(mid_num, dtype=jnp.float32)            # (S,)
     t = slot / jnp.maximum(n_samples[..., None] - 1, 1).astype(jnp.float32)
     sample_mask = slot < n_samples[..., None]                # (L, P, P, S)
     t = jnp.minimum(t, 1.0)
 
     pts = src_xy[:, :, None, None, :] + t[..., None] * diff[:, :, :, None, :]
-    # map padded-image coords to stride-map coords (half-pixel convention,
-    # the inverse of the reference's x4 cubic upsample)
+    if sampling == "reference":
+        # integer pixels of the virtual x4-upsampled map ...
+        pts = jnp.round(pts)
+    # ... mapped to stride-map coords (half-pixel convention, the inverse
+    # of the reference's x4 cubic upsample, parse_skeletons.py:122-123)
     fx = (pts[..., 0] + 0.5) / stride - 0.5
     fy = (pts[..., 1] + 0.5) / stride - 0.5
 
     paf_cl = jnp.moveaxis(paf, -1, 0)                        # (L, h, w)
-    # per limb type: MXU-matmul bilinear sampling of its stride map
-    # (sequential over the 30 types to bound the one-hot scratch memory)
+    # per limb type: MXU-matmul sampling of its stride map (sequential over
+    # the 30 types to bound the one-hot scratch memory)
+    if sampling == "reference":
+        sample_fn = functools.partial(cubic_sample_matmul,
+                                      a=-0.75)  # cv2 INTER_CUBIC kernel
+    else:
+        sample_fn = bilinear_sample_matmul
     samples = jax.lax.map(
-        lambda args: bilinear_sample_matmul(args[0], args[1], args[2]),
+        lambda args: sample_fn(args[0], args[1], args[2]),
         (paf_cl, fx.reshape(fx.shape[0], -1), fy.reshape(fy.shape[0], -1)))
     samples = samples.reshape(fx.shape)                      # (L, P, P, S)
 

@@ -1,14 +1,19 @@
 """Pallas TPU kernels for the inference hot path.
 
-``nms_pallas``: fused 3x3 max-pool NMS + threshold + suppression in one
+``nms_pallas``: fused max-pool NMS + threshold + suppression in one
 VMEM-resident pass per (batch, channel) heatmap tile — replaces the XLA
-reduce_window + compare + select chain (ops/peaks.py:heatmap_nms, itself
-the TPU redesign of the reference's GPU max-pool NMS, utils/util.py:177-185).
+reduce_window/shift + compare + select chain (ops/peaks.py:heatmap_nms).
+Both reference footprints are supported:
 
-The reference reflect-pads before max-pooling; for a local-max test the
-reflected neighbour is already inside the window, so treating out-of-bounds
-as -inf is mathematically identical — the kernel uses shifted VMEM slices
-of a -inf-padded tile.
+  * "plus" — 4-neighbourhood, strict ``> thre``: scipy
+    ``maximum_filter(img, generate_binary_structure(2, 1))`` as used by the
+    refactored 66.1-AP path (utils/parse_skeletons.py:106-119). scipy's
+    'reflect' border pads a radius-1 plus window with the centre pixel
+    itself, so -inf padding is mathematically identical.
+  * "square" — 3x3 window, ``>= thre``: the original GPU max-pool path
+    (utils/util.py:177-185). The reference reflect-pads, but the reflected
+    neighbour is already inside a 3x3 window, so -inf padding is identical
+    here too.
 
 Falls back transparently to the XLA implementation off-TPU (tests run both
 in Pallas interpret mode and compare).
@@ -23,32 +28,40 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_PLUS_OFFSETS = ((0, 1), (2, 1), (1, 0), (1, 2))
+_SQUARE_OFFSETS = tuple((dy, dx) for dy in range(3) for dx in range(3)
+                        if not (dy == 1 and dx == 1))
 
-def _nms_kernel(thre_ref, heat_ref, out_ref):
-    """One (H, W) heatmap tile: suppress non-local-maxima and sub-threshold."""
-    x = heat_ref[0]                                   # (H, W) in VMEM
-    h, w = x.shape
-    neg = jnp.float32(-jnp.inf)
-    padded = jnp.pad(x, 1, mode="constant", constant_values=neg)
-    hmax = x
-    # 8-neighbour max via static shifted slices (VPU work, no gathers)
-    for dy in range(3):
-        for dx in range(3):
-            if dy == 1 and dx == 1:
-                continue
+
+def _make_nms_kernel(footprint: str):
+    offsets = _PLUS_OFFSETS if footprint == "plus" else _SQUARE_OFFSETS
+    strict = footprint == "plus"
+
+    def kernel(thre_ref, heat_ref, out_ref):
+        """One (H, W) heatmap tile: suppress non-local-maxima and
+        sub-threshold responses."""
+        x = heat_ref[0]                                   # (H, W) in VMEM
+        h, w = x.shape
+        neg = jnp.float32(-jnp.inf)
+        padded = jnp.pad(x, 1, mode="constant", constant_values=neg)
+        hmax = x
+        # neighbour max via static shifted slices (VPU work, no gathers)
+        for dy, dx in offsets:
             hmax = jnp.maximum(hmax, padded[dy:dy + h, dx:dx + w])
-    thre = thre_ref[0, 0]
-    keep = (x >= hmax) & (x >= thre)
-    out_ref[0] = jnp.where(keep, x, 0.0)
+        thre = thre_ref[0, 0]
+        keep = (x >= hmax) & ((x > thre) if strict else (x >= thre))
+        out_ref[0] = jnp.where(keep, x, 0.0)
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "footprint"))
 def nms_pallas(heat: jnp.ndarray, thre: float = 0.1,
-               interpret: bool = False) -> jnp.ndarray:
+               footprint: str = "plus", interpret: bool = False) -> jnp.ndarray:
     """heat: (..., H, W) -> NMS'd maps (same shape).
 
     Grid: one program per leading-dims tile; each holds its (H, W) map in
-    VMEM (128x128 fp32 = 64 KB) and does 8 shifted max compares.
+    VMEM (128x128 fp32 = 64 KB) and does the shifted max compares.
     """
     lead = heat.shape[:-2]
     h, w = heat.shape[-2:]
@@ -57,7 +70,7 @@ def nms_pallas(heat: jnp.ndarray, thre: float = 0.1,
     thre_arr = jnp.full((1, 1), thre, jnp.float32)
 
     out = pl.pallas_call(
-        _nms_kernel,
+        _make_nms_kernel(footprint),
         grid=(n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -72,9 +85,10 @@ def nms_pallas(heat: jnp.ndarray, thre: float = 0.1,
     return out.reshape(lead + (h, w)).astype(heat.dtype)
 
 
-def nms(heat: jnp.ndarray, thre: float = 0.1) -> jnp.ndarray:
+def nms(heat: jnp.ndarray, thre: float = 0.1,
+        footprint: str = "plus") -> jnp.ndarray:
     """Backend-dispatching NMS: Pallas on TPU, XLA elsewhere."""
     from improved_body_parts_tpu.ops.peaks import heatmap_nms
     if jax.default_backend() == "tpu":
-        return nms_pallas(heat, thre)
-    return heatmap_nms(heat, thre)
+        return nms_pallas(heat, thre, footprint=footprint)
+    return heatmap_nms(heat, thre, footprint=footprint)

@@ -1,14 +1,23 @@
 """On-device keypoint peak finding: max-pool NMS + top-k + sub-pixel refinement.
 
 TPU-native replacement for the reference's peak stack:
-  * GPU 3x3 max-pool NMS with reflect padding + threshold
-    (utils/util.py:177-185 ``keypoint_heatmap_nms``)
-  * per-peak sub-pixel refinement — we implement BOTH reference schemes:
-      - 5x5-patch bicubic-upsample argmax at the stride scale
-        (utils/parse_skeletons.py:126-176 ``heatmap_nms``, the 66.1-AP path)
-      - weighted-centroid refinement (utils/util.py:188-213 ``refine_centroid``)
-  * fixed-size peak tables: every joint type gets exactly ``max_peaks`` slots
-    (validity-masked) so the whole pipeline stays static-shaped for XLA.
+  * NMS — both reference schemes:
+      - "plus" footprint (scipy ``maximum_filter`` with
+        ``generate_binary_structure(2, 1)``, strict ``> thre``) — the
+        refactored 66.1-AP path (utils/parse_skeletons.py:106-119)
+      - "square" 3x3 max-pool with reflect padding and ``>= thre`` — the
+        original GPU path (utils/util.py:177-185)
+  * per-peak sub-pixel refinement — both reference schemes:
+      - cropped-patch bicubic-upsample argmax at the stride scale
+        (utils/parse_skeletons.py:126-176 ``heatmap_nms``, the 66.1-AP
+        path). The patch crop at map borders and cv2's INTER_CUBIC
+        (Keys a=-0.75, half-pixel mapping, replicate border) are
+        reproduced exactly — as a per-border-case linear basis so the
+        upsample stays two small MXU matmuls per peak.
+      - weighted-centroid refinement (utils/util.py:188-213
+        ``refine_centroid``)
+  * fixed-size peak tables: every joint type gets exactly ``max_peaks``
+    slots (validity-masked) so the whole pipeline stays static-shaped.
 
 Peaks are found on the stride-4 heatmap and refined into padded-image pixel
 coordinates (the reference "refactor" path, evaluate.py:74-80) — no full-map
@@ -22,7 +31,13 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
+
+# cv2 INTER_CUBIC uses the Keys kernel with a=-0.75; jax.image.resize and
+# most other frameworks use a=-0.5. The reference's AP numbers were produced
+# with cv2, so -0.75 is our default everywhere.
+CV2_CUBIC_A = -0.75
 
 
 class PeakTable(NamedTuple):
@@ -33,12 +48,34 @@ class PeakTable(NamedTuple):
     grid_yx: jnp.ndarray  # (K, P, 2) int32 — integer peak cell on stride map
 
 
-def heatmap_nms(heat: jnp.ndarray, thre: float = 0.1) -> jnp.ndarray:
-    """3x3 max-pool NMS with reflect padding; zero non-peaks and sub-threshold.
+def heatmap_nms(heat: jnp.ndarray, thre: float = 0.1,
+                footprint: str = "plus") -> jnp.ndarray:
+    """Suppress non-local-maxima and sub-threshold responses.
 
     heat: (..., H, W) — any leading batch/channel dims.
-    reference: utils/util.py:177-185.
+
+    footprint="plus": 4-neighbourhood local-max test with STRICT ``> thre``
+    — exactly scipy ``maximum_filter(img, generate_binary_structure(2,1))
+    == img) * (img > thre)`` (parse_skeletons.py:106-119; scipy's 'reflect'
+    border pads with the edge pixel, which for a radius-1 plus window is
+    the centre itself, i.e. equivalent to -inf padding).
+
+    footprint="square": 3x3 window with reflect padding and ``>= thre``
+    (utils/util.py:177-185).
     """
+    h, w = heat.shape[-2:]
+    if footprint == "plus":
+        pad_widths = [(0, 0)] * (heat.ndim - 2) + [(1, 1), (1, 1)]
+        padded = jnp.pad(heat, pad_widths, mode="constant",
+                         constant_values=-jnp.inf)
+        up = padded[..., 0:h, 1:w + 1]
+        down = padded[..., 2:h + 2, 1:w + 1]
+        left = padded[..., 1:h + 1, 0:w]
+        right = padded[..., 1:h + 1, 2:w + 2]
+        hmax = jnp.maximum(jnp.maximum(up, down), jnp.maximum(left, right))
+        keep = (heat >= hmax) & (heat > thre)
+        return jnp.where(keep, heat, 0.0)
+    assert footprint == "square", footprint
     pad_widths = [(0, 0)] * (heat.ndim - 2) + [(1, 1), (1, 1)]
     padded = jnp.pad(heat, pad_widths, mode="reflect")
     window = (1,) * (heat.ndim - 2) + (3, 3)
@@ -74,39 +111,107 @@ def _gather_patch(map2d: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
     return patch, inb
 
 
-def _cubic_upsample_basis(size: int, up: int) -> jnp.ndarray:
-    """(size^2, (size*up)^2) matrix equal to jax.image.resize(..., 'cubic')
-    on a size x size patch. Cubic resize is linear in the input, so the
-    operator is materialized exactly by resizing the canonical basis —
-    turning the per-peak patch upsample into ONE batched MXU matmul."""
-    eye = jnp.eye(size * size, dtype=jnp.float32).reshape(size * size, size, size)
-    basis = jax.vmap(lambda p: jax.image.resize(
-        p, (size * up, size * up), method="cubic"))(eye)
-    return basis.reshape(size * size, (size * up) ** 2)
+# ---------------------------------------------------------------------------
+# cv2-exact cubic upsampling as a linear basis
+# ---------------------------------------------------------------------------
+
+def keys_cubic_weights(f: np.ndarray, a: float) -> np.ndarray:
+    """Keys cubic-convolution weights for the 4 taps (x0-1, x0, x0+1, x0+2)
+    at fractional position f in [0, 1). Shape (..., 4)."""
+    f = np.asarray(f, np.float64)
+    # distances of the 4 taps from the sample point: 1+f, f, 1-f, 2-f
+    t = np.stack([1.0 + f, f, 1.0 - f, 2.0 - f], axis=-1)
+    at = np.abs(t)
+    near = (a + 2) * at ** 3 - (a + 3) * at ** 2 + 1          # |t| <= 1
+    far = a * (at ** 3 - 5 * at ** 2 + 8 * at - 4)            # 1 < |t| < 2
+    return np.where(at <= 1.0, near, far)
+
+
+def resize1d_cubic_matrix(s_in: int, s_out: int, a: float) -> np.ndarray:
+    """(s_in, s_out) matrix M with (signal @ M) == cv2.resize INTER_CUBIC of
+    the 1-D signal: half-pixel coordinate mapping, replicate border (clamped
+    taps), Keys kernel with parameter ``a``. cv2.resize is separable, so the
+    2-D resize of a patch is basisY.T @ patch @ basisX."""
+    m = np.zeros((s_in, s_out), np.float64)
+    scale = s_in / s_out
+    for X in range(s_out):
+        x = (X + 0.5) * scale - 0.5
+        x0 = int(np.floor(x))
+        w = keys_cubic_weights(x - x0, a)
+        for k in range(4):
+            m[min(max(x0 - 1 + k, 0), s_in - 1), X] += w[k]
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _border_case_bases(win: int, up: int, a: float):
+    """Per-border-case 1-D upsample bases for the cropped-patch refinement.
+
+    The reference CROPS the (2*win+1)-cell patch at map borders and resizes
+    the crop (parse_skeletons.py:143-153). Cases per axis (at most one side
+    can clip when the map is at least 2*win+1 cells wide):
+      0: interior; 1..win: low side clipped by c; win+1..2*win: high side
+      clipped by c-win.
+    Returns (bases (2*win+1 cases, size, size*up) float32,
+             valid (cases, size*up) bool) — basis rows of clipped cells are
+    zero and outputs beyond the cropped extent are invalid.
+    """
+    size = 2 * win + 1
+    n_cases = 2 * win + 1
+    bases = np.zeros((n_cases, size, size * up), np.float64)
+    valid = np.zeros((n_cases, size * up), bool)
+    for case in range(n_cases):
+        lo_clip = case if case <= win else 0
+        hi_clip = case - win if case > win else 0
+        s = size - lo_clip - hi_clip
+        m = resize1d_cubic_matrix(s, s * up, a)
+        bases[case, lo_clip:lo_clip + s, :s * up] = m
+        valid[case, :s * up] = True
+    # cached as NUMPY (device constants created under jit would cache tracers)
+    return bases.astype(np.float32), valid
+
+
+def _border_case_index(c: jnp.ndarray, size: int, win: int) -> jnp.ndarray:
+    """Case index for coordinate c on an axis of ``size`` cells."""
+    lo = jnp.maximum(win - c, 0)                       # cells clipped low
+    hi = jnp.maximum(c + win - (size - 1), 0)          # cells clipped high
+    return jnp.where(lo > 0, lo, jnp.where(hi > 0, hi + win, 0))
 
 
 def _refine_bicubic(map2d: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
-                    stride: int):
-    """Bicubic 5x5-patch argmax refinement into image coordinates.
+                    stride: int, cubic_a: float = CV2_CUBIC_A):
+    """Cropped-patch bicubic-upsample argmax refinement into image coords.
 
-    reference: parse_skeletons.py:141-173 (win_size=2, upsample by stride).
-    The patch upsample runs through the precomputed linear basis (exactly
-    jax.image.resize cubic). Returns (x_img, y_img, score)."""
+    Exact reproduction of the reference refinement
+    (parse_skeletons.py:141-173): crop a 5x5 patch (smaller at map borders),
+    cv2-INTER_CUBIC-upsample it by ``stride``, take the argmax. The
+    upsample runs as two per-case basis matmuls (cv2 bicubic is separable
+    and linear); invalid (beyond-crop) outputs are masked to -inf so the
+    argmax — including its row-major tie-break — matches numpy's over the
+    cropped map. Returns (x_img, y_img, score)."""
     win = 2
     up = stride
-    patch, inb = _gather_patch(map2d, cy, cx, win)
-    # reference crops the patch at the border; we instead mask out-of-bounds
-    # cells with the patch min so argmax never selects them
-    patch = jnp.where(inb, patch, patch.min())
     size = 2 * win + 1
+    h, w = map2d.shape
+    patch, inb = _gather_patch(map2d, cy, cx, win)
+    patch = jnp.where(inb, patch, 0.0)   # clipped cells have zero basis rows
+    bases_np, valids_np = _border_case_bases(win, up, cubic_a)
+    bases = jnp.asarray(bases_np)
+    valids = jnp.asarray(valids_np)
+    iy = _border_case_index(cy, h, win)
+    ix = _border_case_index(cx, w, win)
+    by = bases[iy]                        # (size, size*up)
+    bx = bases[ix]
+    vy = valids[iy]                       # (size*up,)
+    vx = valids[ix]
+    patch_up = jnp.dot(jnp.dot(by.T, patch, preferred_element_type=jnp.float32),
+                       bx, preferred_element_type=jnp.float32)
+    patch_up = jnp.where(vy[:, None] & vx[None, :], patch_up, -jnp.inf)
     upsz = size * up
-    basis = _cubic_upsample_basis(size, up)          # folded to a constant
-    patch_up = jnp.dot(patch.reshape(-1), basis,
-                       preferred_element_type=jnp.float32)
     flat_idx = jnp.argmax(patch_up)
     uy, ux = flat_idx // upsz, flat_idx % upsz
-    score = patch_up[flat_idx]
-    # reference computes patch offsets wrt the clipped window origin
+    score = patch_up.reshape(-1)[flat_idx]
+    # patch offsets are relative to the clipped window origin
     y0 = jnp.maximum(cy - win, 0)
     x0 = jnp.maximum(cx - win, 0)
     center_up = resized_coords(jnp.stack([cy - y0, cx - x0]), up)
@@ -118,19 +223,22 @@ def _refine_bicubic(map2d: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
 
 
 def _refine_centroid(map2d: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
-                     stride: int, radius: int = 2):
+                     stride: int, radius: int = 2, cubic_a: float = 0.0):
     """Weighted-centroid refinement (on the stride map), scaled to image coords.
 
     reference: utils/util.py:188-213 (score-box mean as refined score). Falls
     back to the raw cell when the window crosses the border, as the reference
-    does."""
+    does. NOTE the reference's ``np.mgrid[-r:r+1, -r:r+1]`` swaps the two
+    offset grids, so its x-offset actually comes from the y-direction moment
+    and vice versa; we reproduce that behaviour for parity."""
     patch, inb = _gather_patch(map2d, cy, cx, radius)
     fully_inb = jnp.all(inb)
     w = jnp.where(inb, patch, 0.0)
     grid = jnp.arange(-radius, radius + 1).astype(jnp.float32)
     total = jnp.sum(w)
-    off_x = jnp.sum(w * grid[None, :]) / jnp.maximum(total, 1e-12)
-    off_y = jnp.sum(w * grid[:, None]) / jnp.maximum(total, 1e-12)
+    # reference swap: offset_x uses the row-varying grid (y moment)
+    off_x = jnp.sum(w * grid[:, None]) / jnp.maximum(total, 1e-12)
+    off_y = jnp.sum(w * grid[None, :]) / jnp.maximum(total, 1e-12)
     score_box_mean = jnp.sum(w) / (2 * radius + 1) ** 2
     raw = map2d[cy, cx]
     fx = jnp.where(fully_inb, cx.astype(jnp.float32) + off_x, cx.astype(jnp.float32))
@@ -139,18 +247,27 @@ def _refine_centroid(map2d: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
     return resized_coords(fx, stride), resized_coords(fy, stride), score
 
 
-@functools.partial(jax.jit, static_argnames=("max_peaks", "stride", "refine", "thre"))
+@functools.partial(jax.jit, static_argnames=("max_peaks", "stride", "refine",
+                                             "thre", "footprint", "cubic_a"))
 def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
-               stride: int = 4, refine: str = "bicubic") -> PeakTable:
+               stride: int = 4, refine: str = "bicubic",
+               footprint: str | None = None,
+               cubic_a: float = CV2_CUBIC_A) -> PeakTable:
     """Find up to ``max_peaks`` peaks per joint-type channel.
 
     heat: (H, W, K) stride-resolution keypoint heatmaps (K=18).
+    refine="bicubic" (the reference's refactored 66.1-AP path) pairs with
+    the "plus" NMS footprint; refine="centroid" (original path) with the
+    "square" one — pass ``footprint`` to override. ``cubic_a`` selects the
+    cubic kernel (-0.75 = cv2/reference-exact; -0.5 = Keys/jax flavour).
     Returns a PeakTable with refined coordinates in padded-image pixels.
     """
     h, w, k = heat.shape
+    if footprint is None:
+        footprint = "plus" if refine == "bicubic" else "square"
     chan_first = jnp.moveaxis(heat, -1, 0)                 # (K, H, W)
     from improved_body_parts_tpu.ops.pallas_kernels import nms
-    nmsed = nms(chan_first, thre)      # Pallas kernel on TPU, XLA elsewhere
+    nmsed = nms(chan_first, thre, footprint=footprint)
 
     flat = nmsed.reshape(k, h * w)
     top_scores, top_idx = lax.top_k(flat, max_peaks)       # (K, P)
@@ -161,7 +278,8 @@ def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
     refine_fn = _refine_bicubic if refine == "bicubic" else _refine_centroid
 
     def per_channel(map2d, cys, cxs):
-        return jax.vmap(lambda y, x: refine_fn(map2d, y, x, stride))(cys, cxs)
+        return jax.vmap(lambda y, x: refine_fn(map2d, y, x, stride,
+                                               cubic_a=cubic_a))(cys, cxs)
 
     xs, ys, scores = jax.vmap(per_channel)(chan_first, cy, cx)
     xy = jnp.stack([xs, ys], axis=-1)

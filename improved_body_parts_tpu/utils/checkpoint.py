@@ -264,7 +264,19 @@ def save_train_state(ckpt_dir: str, state: dict, step: int, keep: int = 3) -> No
         mgr.save(step, args=ocp.args.StandardSave(state))
 
 
-def restore_train_state(ckpt_dir: str, step: int | None = None) -> dict:
+def restore_train_state(ckpt_dir: str, step: int | None = None,
+                        target: dict | None = None) -> dict:
+    """Restore a train-state checkpoint.
+
+    Without ``target`` orbax returns plain nested dicts/lists — fine for
+    reading params/batch_stats, but optimizer state loses its optax
+    NamedTuple structure and ``tx.update`` would crash on it. Pass ``target``
+    (a live state payload with the same shapes, e.g. a freshly initialized
+    one) to restore each top-level entry with its original pytree structure;
+    entries of ``target`` absent from the checkpoint (e.g. ``swa_params``
+    when resuming --swa from a non-SWA run) are returned from ``target``
+    unchanged, and checkpoint-only entries come back as plain trees.
+    """
     import orbax.checkpoint as ocp
     ckpt_dir = os.path.abspath(ckpt_dir)
     with ocp.CheckpointManager(ckpt_dir) as mgr:
@@ -272,4 +284,15 @@ def restore_train_state(ckpt_dir: str, step: int | None = None) -> dict:
             step = mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
-        return mgr.restore(step)
+        if target is None:
+            return mgr.restore(step)
+        # learn the saved top-level key set from a raw (structure-less)
+        # restore; item_metadata() needs a handler registry this orbax
+        # version won't give us without extra setup
+        saved_keys = set(mgr.restore(step).keys())
+        template = {k: v for k, v in target.items() if k in saved_keys}
+        restored = dict(mgr.restore(step, args=ocp.args.StandardRestore(template)))
+        for k in target:
+            if k not in saved_keys:
+                restored[k] = target[k]
+        return restored

@@ -184,10 +184,14 @@ def test_connection_scoring_matches_oracle():
     peaks = _device_peaks_from(heat, icfg)
     img_h = 256.0
 
+    # the numpy oracle here transcribes the FAST (bilinear) sampling mode;
+    # the reference-exact default mode is oracle-tested against the actual
+    # reference code in tests/test_reference_parity.py
     cand = score_connections(jnp.asarray(paf), peaks.xy, peaks.score,
                              peaks.valid, jnp.float32(img_h),
                              mid_num=icfg.mid_num, stride=4,
-                             thre2=icfg.thre2, connect_ration=icfg.connect_ration)
+                             thre2=icfg.thre2, connect_ration=icfg.connect_ration,
+                             sampling="bilinear")
     conns = select_connections(cand, peaks.valid)
     got = connections_to_numpy(conns, peaks)
 

@@ -91,6 +91,53 @@ def test_abnormal_loss_skips_update(tiny_setup):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resume_equals_continuous_training(tiny_setup, tmp_path):
+    """Save at step 3, restore with a structure target, continue to step 6 —
+    must match an uninterrupted 6-step run exactly (VERDICT round-1 item;
+    also the ADVICE repro: a plain-dict orbax restore loses the optax
+    NamedTuple structure and tx.update crashes)."""
+    from improved_body_parts_tpu.utils import checkpoint as ckpt_lib
+
+    config, model, state0 = tiny_setup
+    imgs, mask, heat = _fake_batch(batch=2)
+    step = train_lib.make_train_step(model, config, donate=False)
+
+    state = state0
+    for i in range(6):
+        state, metrics = step(state, imgs, mask, heat, jnp.float32(1e-2))
+        if i == 2:
+            ckpt_lib.save_train_state(str(tmp_path / "ck"), {
+                "params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "step": int(state.step),
+                "epoch": 0, "train_loss": float(metrics["loss"]),
+            }, step=0)
+    final_uninterrupted = state
+
+    # resume exactly as train.py --resume does: template from a fresh state
+    fresh = train_lib.create_train_state(state0.params, state0.batch_stats,
+                                         config.train)
+    template = {"params": fresh.params, "batch_stats": fresh.batch_stats,
+                "opt_state": fresh.opt_state, "step": 0, "epoch": 0,
+                "train_loss": 0.0,
+                # key absent from the checkpoint: must come back from target
+                "swa_params": fresh.swa_params}
+    restored = ckpt_lib.restore_train_state(str(tmp_path / "ck"), target=template)
+    # structure must survive: same treedef as a live opt_state
+    assert (jax.tree_util.tree_structure(restored["opt_state"])
+            == jax.tree_util.tree_structure(fresh.opt_state))
+    state = fresh._replace(params=restored["params"],
+                           batch_stats=restored["batch_stats"],
+                           opt_state=restored["opt_state"],
+                           step=jnp.asarray(restored["step"], jnp.int32))
+    for _ in range(3):
+        state, _ = step(state, imgs, mask, heat, jnp.float32(1e-2))
+
+    assert int(state.step) == int(final_uninterrupted.step) == 6
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(final_uninterrupted.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_swa_accumulation(tiny_setup):
     _, _, state = tiny_setup
     s1 = train_lib.swa_update(state)

@@ -113,7 +113,17 @@ def main():
     os.makedirs(args.checkpoint_path, exist_ok=True)
     ckpt_dir = os.path.join(args.checkpoint_path, "orbax")
     if args.resume and os.path.isdir(ckpt_dir):
-        restored = ckpt_lib.restore_train_state(ckpt_dir)
+        # restore against the live state as template so optax opt_state
+        # keeps its NamedTuple structure (plain-dict restore breaks tx.update)
+        template = {
+            "params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": 0, "epoch": 0,
+            "train_loss": 0.0,
+        }
+        if args.swa:
+            template["swa_params"] = state.swa_params
+            template["swa_count"] = 0
+        restored = ckpt_lib.restore_train_state(ckpt_dir, target=template)
         state = state._replace(
             params=restored["params"], batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
