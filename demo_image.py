@@ -108,6 +108,12 @@ def main():
                         help="rotation TTA angles in degrees")
     parser.add_argument("--synthetic", action="store_true",
                         help="run post-processing on a synthetic scene (no weights needed)")
+    parser.add_argument("--ellipse", action="store_true",
+                        help="reference-style filled-ellipse limb rendering "
+                             "(demo_image.py:219-240) instead of lines")
+    parser.add_argument("--show-maps", action="store_true",
+                        help="also save heatmap/PAF overlay diagnostics "
+                             "(reference show_color_vector)")
     args = parser.parse_args()
 
     if args.synthetic:
@@ -132,10 +138,24 @@ def main():
     print(f"found {len(kps)} people in {t1 - t0:.3f}s "
           f"(first call includes XLA compile)")
 
-    from improved_body_parts_tpu.utils.common import draw_humans
-    canvas = draw_humans(img, kps)
+    from improved_body_parts_tpu.utils.common import (
+        draw_humans, draw_humans_ellipse, show_color_vector)
+    canvas = (draw_humans_ellipse(img, kps) if args.ellipse
+              else draw_humans(img, kps))
     cv2.imwrite(args.output, canvas)
     print(f"wrote {args.output}")
+
+    if args.show_maps:
+        # stride-4 device maps -> image resolution, like the reference's
+        # upsampled paf_avg/heatmap_avg (demo_image.py:96-122)
+        h, w = img.shape[:2]
+        paf = cv2.resize(np.asarray(aux["paf"], np.float32), (w, h),
+                         interpolation=cv2.INTER_CUBIC)
+        heat = cv2.resize(np.asarray(aux["heat"], np.float32), (w, h),
+                          interpolation=cv2.INTER_CUBIC)
+        prefix = os.path.splitext(args.output)[0]
+        for p in show_color_vector(img, paf, heat, out_prefix=prefix):
+            print(f"wrote {p}")
     return 0
 
 

@@ -227,13 +227,24 @@ class CocoH5Dataset:
         heat = self.heatmapper.create_heatmaps(joints, mask_all)
         return img, mask_miss[..., None], heat
 
-    def batches(self, batch_size: int, steps: int,
-                seed: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    def batches(self, batch_size: int, steps: int, seed: int = 0,
+                rank: int = 0, world: int = 1,
+                ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """``batch_size`` is GLOBAL; with world > 1 every process draws the
+        same index/augmentation plan from ``seed`` and loads only its
+        contiguous 1/world slice (DistributedSampler pattern,
+        train_distributed.py:209-211)."""
         rng = np.random.RandomState(seed)
+        per = batch_size // world
+        assert per * world == batch_size, (batch_size, world)
         for _ in range(steps):
             idxs = rng.randint(0, len(self._keys), batch_size)
-            samples = [self.__getitem__(i, np.random.RandomState(rng.randint(2 ** 31)))
-                       for i in idxs]
+            # draw the full global augmentation plan so all ranks stay in
+            # lockstep, then load only ours
+            seeds = [rng.randint(2 ** 31) for _ in range(batch_size)]
+            lo = rank * per
+            samples = [self.__getitem__(i, np.random.RandomState(s))
+                       for i, s in zip(idxs[lo:lo + per], seeds[lo:lo + per])]
             yield (np.stack([s[0] for s in samples]),
                    np.stack([s[1] for s in samples]),
                    np.stack([s[2] for s in samples]))

@@ -45,16 +45,26 @@ class PrefetchingLoader:
     def __len__(self):
         return len(self.dataset)
 
-    def batches(self, batch_size: int, steps: int,
-                seed: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    def batches(self, batch_size: int, steps: int, seed: int = 0,
+                rank: int = 0, world: int = 1,
+                ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """``batch_size`` is GLOBAL; the full index/seed plan is drawn on
+        every process and only this rank's contiguous slice is fetched
+        (DistributedSampler pattern)."""
         rng = np.random.RandomState(seed)
-        idx_plan = [rng.randint(0, len(self.dataset), batch_size)
+        per = batch_size // world
+        assert per * world == batch_size, (batch_size, world)
+        lo = rank * per
+        idx_plan = [rng.randint(0, len(self.dataset), batch_size)[lo:lo + per]
                     for _ in range(steps)]
         # per-work-item rng seeds so augmenting datasets (CocoH5Dataset)
         # draw FRESH augmentations every epoch, matching the synchronous path
         seed_rng = np.random.RandomState(seed ^ 0x5F5E100)
         item_seeds = [int(seed_rng.randint(2 ** 31))
                       for _ in range(steps * batch_size)]
+        item_seeds = [item_seeds[s * batch_size + lo + j]
+                      for s in range(steps) for j in range(per)]
+        batch_size = per
 
         sample_q: "queue.Queue" = queue.Queue()
         work_q: "queue.Queue" = queue.Queue()

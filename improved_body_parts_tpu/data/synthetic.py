@@ -100,11 +100,19 @@ class SyntheticDataset:
         mask = np.ones((self.hm.h, self.hm.w, 1), np.float32)
         return img, mask, heat
 
-    def batches(self, batch_size: int, steps: int,
-                seed: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    def batches(self, batch_size: int, steps: int, seed: int = 0,
+                rank: int = 0, world: int = 1,
+                ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """``batch_size`` is GLOBAL; with world > 1 every process draws the
+        same index plan from ``seed`` and loads only its contiguous
+        1/world slice (the reference DistributedSampler pattern,
+        train_distributed.py:209-211)."""
         rng = np.random.RandomState(seed)
+        per = batch_size // world
+        assert per * world == batch_size, (batch_size, world)
         for _ in range(steps):
             idxs = rng.randint(0, self.length, batch_size)
+            idxs = idxs[rank * per:(rank + 1) * per]
             samples = [self[i] for i in idxs]
             imgs = np.stack([s[0] for s in samples])
             masks = np.stack([s[1] for s in samples])

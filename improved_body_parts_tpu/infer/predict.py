@@ -49,7 +49,7 @@ from improved_body_parts_tpu.ops.peaks import PeakTable, find_peaks
 # ---------------------------------------------------------------------------
 
 def packed_size(P: int) -> int:
-    return NUM_PARTS * P * 4 + NUM_LIMBS * P * 5
+    return NUM_PARTS * P * 4 + NUM_LIMBS * P * 5 + NUM_PARTS
 
 
 def pack_results(peaks: PeakTable, conns: Connections) -> jnp.ndarray:
@@ -63,6 +63,7 @@ def pack_results(peaks: PeakTable, conns: Connections) -> jnp.ndarray:
         conns.score.reshape(-1),
         conns.limb_len.reshape(-1),
         conns.valid.astype(jnp.float32).reshape(-1),
+        peaks.n_raw.astype(jnp.float32),           # 18 — saturation telemetry
     ]
     return jnp.concatenate(parts)
 
@@ -86,7 +87,9 @@ def unpack_results(buf: np.ndarray, P: int):
     cscore = take(NUM_LIMBS * P, (NUM_LIMBS, P))
     clen = take(NUM_LIMBS * P, (NUM_LIMBS, P))
     cvalid = take(NUM_LIMBS * P, (NUM_LIMBS, P)) > 0.5
-    peaks = PeakTable(xy=xy, score=score, valid=valid, grid_yx=None)
+    n_raw = take(NUM_PARTS, (NUM_PARTS,)).astype(np.int32)
+    peaks = PeakTable(xy=xy, score=score, valid=valid, grid_yx=None,
+                      n_raw=n_raw)
     conns = Connections(src_slot=src, dst_slot=dst, score=cscore,
                         limb_len=clen, valid=cvalid)
     return peaks, conns
@@ -220,7 +223,8 @@ class Predictor:
         if key in self._compiled:
             return self._compiled[key]
 
-        from improved_body_parts_tpu.ops.warp import affine_warp, rotation_matrix
+        from improved_body_parts_tpu.ops.warp import (
+            affine_warp, resize_cubic_cv2, rotation_matrix)
 
         bucket = self.config.infer.max_downsample
         pad_val = self.config.infer.pad_value / 255.0
@@ -234,8 +238,7 @@ class Predictor:
                 sh, sw = int(round(h * s)), int(round(w * s))
                 ph = -(-sh // bucket) * bucket
                 pw = -(-sw // bucket) * bucket
-                img_s = img if s == 1.0 else jax.image.resize(
-                    img, (sh, sw, 3), method="cubic")
+                img_s = img if s == 1.0 else resize_cubic_cv2(img, sh, sw)
                 img_p = jnp.full((ph, pw, 3), pad_val, jnp.float32)
                 img_p = img_p.at[:sh, :sw].set(img_s)
                 for ang in angles:
@@ -255,8 +258,7 @@ class Predictor:
                     vh = max(int(round(sh / self.config.stride)), 1)
                     vw = max(int(round(sw / self.config.stride)), 1)
                     valid = avg[:vh, :vw, :]
-                    acc = acc + jax.image.resize(
-                        valid, (base_h4, base_w4, NUM_LAYERS), method="cubic")
+                    acc = acc + resize_cubic_cv2(valid, base_h4, base_w4)
             avg = acc / float(len(scales) * len(angles))
             return self._postprocess(avg, img_h)
 
@@ -372,8 +374,12 @@ class Predictor:
         kps, scores = group.humans_to_keypoints(table, cands)
         if unscale != 1.0:
             kps[:, :, :2] *= unscale          # letterbox coords -> original
+        P = self.config.infer.max_peaks
         aux = dict(paf=paf, heat=heat, peaks=peaks_np, person_table=table,
-                   joint_candidates=cands, orig_hw=(orig_h, orig_w))
+                   joint_candidates=cands, orig_hw=(orig_h, orig_w),
+                   # per-joint-type peaks silently dropped by the top-k cut —
+                   # nonzero means max_peaks is saturated on this image
+                   peaks_dropped=np.maximum(peaks_np.n_raw - P, 0))
         return kps, scores, aux
 
     def predict_batch(self, imgs: np.ndarray, img_hs: Optional[np.ndarray] = None,

@@ -46,6 +46,10 @@ class PeakTable(NamedTuple):
     score: jnp.ndarray   # (K, P) float32
     valid: jnp.ndarray   # (K, P) bool
     grid_yx: jnp.ndarray  # (K, P, 2) int32 — integer peak cell on stride map
+    n_raw: jnp.ndarray = None  # (K,) int32 — NMS peaks BEFORE the top-k cut;
+    #                            n_raw > P means peaks were dropped
+    #                            (saturation telemetry; pafprocess.h caps the
+    #                            same tables at NMS_MAX_PEAKS=64 silently)
 
 
 def heatmap_nms(heat: jnp.ndarray, thre: float = 0.1,
@@ -270,6 +274,7 @@ def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
     nmsed = nms(chan_first, thre, footprint=footprint)
 
     flat = nmsed.reshape(k, h * w)
+    n_raw = jnp.sum(flat > 0.0, axis=1).astype(jnp.int32)  # (K,) pre-top-k
     top_scores, top_idx = lax.top_k(flat, max_peaks)       # (K, P)
     valid = top_scores > 0.0
     cy = top_idx // w
@@ -285,4 +290,5 @@ def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
     xy = jnp.stack([xs, ys], axis=-1)
     scores = jnp.where(valid, scores, 0.0)
     return PeakTable(xy=xy.astype(jnp.float32), score=scores.astype(jnp.float32),
-                     valid=valid, grid_yx=jnp.stack([cy, cx], axis=-1))
+                     valid=valid, grid_yx=jnp.stack([cy, cx], axis=-1),
+                     n_raw=n_raw)

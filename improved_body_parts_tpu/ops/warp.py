@@ -27,6 +27,24 @@ def rotation_matrix(center_xy, angle_deg: float, scale: float = 1.0) -> np.ndarr
     return m
 
 
+def resize_cubic_cv2(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """cv2.resize(..., interpolation=INTER_CUBIC)-exact resize of (H, W, C)
+    as two separable basis matmuls (Keys a=-0.75, half-pixel mapping,
+    replicate border). The TTA image/heatmap resizes in the reference use
+    cv2 INTER_CUBIC (parse_skeletons.py:204, 250-263); jax.image.resize
+    differs (Keys a=-0.5 + antialiasing on downscale), so the exact path
+    builds the cv2 operator as trace-time constants — two dense matmuls the
+    MXU eats (512x768 class shapes)."""
+    from improved_body_parts_tpu.ops.peaks import resize1d_cubic_matrix
+    h, w = img.shape[:2]
+    my = jnp.asarray(resize1d_cubic_matrix(h, out_h, -0.75), img.dtype)
+    mx = jnp.asarray(resize1d_cubic_matrix(w, out_w, -0.75), img.dtype)
+    # (H,W,C) -> (out_h,W,C): contract H with my
+    out = jnp.einsum("hk,hwc->kwc", my, img)
+    out = jnp.einsum("wk,hwc->hkc", mx, out)
+    return out
+
+
 def affine_warp(img: jnp.ndarray, inv_m: np.ndarray,
                 fill_value: float = 0.0) -> jnp.ndarray:
     """Warp (H, W, C) by the inverse map ``inv_m`` (output->input coords),

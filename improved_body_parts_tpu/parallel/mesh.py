@@ -67,6 +67,22 @@ def initialize_multihost(coordinator_address: str | None = None,
     jax.distributed.initialize(**kwargs)
 
 
+def assemble_global_batch(mesh: Mesh, batch, shard_spatial: bool = False):
+    """Build globally-sharded arrays from PROCESS-LOCAL batch slices.
+
+    Each process passes only its own rows (its ``process_batch_slice`` of
+    the global batch); ``jax.make_array_from_process_local_data`` stitches
+    them into one global jax.Array per leaf — the TPU-native replacement
+    for the reference's DistributedSampler + per-rank DataLoader
+    (train_distributed.py:209-226). With a single process this reduces to
+    ``shard_batch``.
+    """
+    sh = batch_sharding(mesh, shard_spatial)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)
+
+
 def process_batch_slice(global_batch: int) -> slice:
     """This process's slice of a globally-indexed batch — replaces the
     reference's ``DistributedSampler`` (train_distributed.py:209-211): each

@@ -1,0 +1,113 @@
+"""Multi-host (multi-process) training correctness.
+
+Launches a REAL 2-process jax.distributed CPU cluster (the TPU-native
+substitute for the reference's missing fake backend, SURVEY.md §4): each
+process owns 4 fake devices, loads only its slice of the global batch via
+the shared index plan, and assembles the global array with
+``jax.make_array_from_process_local_data``. The two-process losses must
+match a single-process run on the same 8-device mesh consuming the same
+global batches — the exact 'Done' criterion of VERDICT round-1 item #3.
+"""
+
+import dataclasses
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from improved_body_parts_tpu import train_lib
+from improved_body_parts_tpu.configs import (
+    CanonicalConfig, ModelConfig, TrainConfig,
+)
+from improved_body_parts_tpu.data.synthetic import SyntheticDataset
+from improved_body_parts_tpu.models.imhn import create_model, init_model
+from improved_body_parts_tpu.parallel import mesh as mesh_lib
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_reference_losses():
+    config = CanonicalConfig(width=64, height=64,
+                             model=ModelConfig(nstack=1, inp_dim=16, increase=8),
+                             train=dataclasses.replace(TrainConfig()))
+    model = create_model(config.model, dtype=jnp.float32)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), 64, 64)
+    state = train_lib.create_train_state(params, batch_stats, config.train)
+    mesh = mesh_lib.make_mesh()
+    step_fn = train_lib.make_train_step(model, config, donate=False)
+    ds = SyntheticDataset(config, length=64, image_size=64)
+    losses = []
+    for imgs, masks, heats in ds.batches(8, 2, seed=0):
+        batch = mesh_lib.assemble_global_batch(mesh, (imgs, masks, heats))
+        state, metrics = step_fn(state, batch[0], batch[1], batch[2],
+                                 jnp.float32(1e-2))
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_process_batch_slices_partition_globally():
+    """The per-rank batches are a disjoint partition of the global plan."""
+    config = CanonicalConfig(width=64, height=64)
+    ds = SyntheticDataset(config, length=64, image_size=64)
+    full = list(ds.batches(8, 2, seed=0))
+    r0 = list(ds.batches(8, 2, seed=0, rank=0, world=2))
+    r1 = list(ds.batches(8, 2, seed=0, rank=1, world=2))
+    for step in range(2):
+        np.testing.assert_array_equal(
+            np.concatenate([r0[step][0], r1[step][0]]), full[step][0])
+        np.testing.assert_array_equal(
+            np.concatenate([r0[step][2], r1[step][2]]), full[step][2])
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    outs = [str(tmp_path / f"out{r}.json") for r in range(2)]
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "_multihost_child.py"),
+             coordinator, "2", str(r), outs[r]],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for r in range(2)]
+    try:
+        logs = [p.communicate(timeout=540)[0].decode() for p in procs]
+    finally:
+        # SIGKILL, not terminate: jax.distributed's preemption notifier
+        # swallows SIGTERM, which would leak CPU-burning children forever
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for r, p in enumerate(procs):
+        assert p.returncode == 0, f"rank {r} failed:\n{logs[r][-4000:]}"
+
+    results = [json.load(open(o)) for o in outs]
+    # both processes observe the same (globally-reduced) losses and params
+    np.testing.assert_allclose(results[0]["losses"], results[1]["losses"],
+                               rtol=1e-5)
+    assert results[0]["param_sum"] == pytest.approx(
+        results[1]["param_sum"], rel=1e-6)
+
+    # and they equal a single-process run over the same global batches:
+    # step 1 tightly (proves identical global-batch assembly from per-rank
+    # slices — params still identical); step 2 loosely (the cross-process
+    # gradient all-reduce sums in a different order than the in-process
+    # tree reduction, so f32 non-associativity drifts the first update
+    # by ~1e-3 relative — measured 0.0013 on this box)
+    want = _single_process_reference_losses()
+    np.testing.assert_allclose(results[0]["losses"][0], want[0], rtol=1e-5)
+    np.testing.assert_allclose(results[0]["losses"][1:], want[1:], rtol=1e-2)

@@ -105,6 +105,30 @@ def test_find_peaks_locates_gaussians(refine):
     assert valid[1].sum() == 0
 
 
+def test_find_peaks_reports_topk_saturation():
+    """When a channel has more NMS peaks than table slots, the extras are
+    dropped by top-k; n_raw records the pre-cut count so callers can detect
+    saturation (the reference's pafprocess caps silently, pafprocess.h:6-17)."""
+    H = W = 32
+    heat = np.zeros((H, W, NUM_PARTS), np.float32)
+    # 25 isolated peaks on a grid in channel 3, 2 in channel 7
+    cells = [(y, x) for y in range(2, 32, 6) for x in range(2, 32, 6)][:25]
+    for i, (py, px) in enumerate(cells):
+        heat[py, px, 3] = 0.5 + 0.01 * i
+    heat[5, 5, 7] = 0.9
+    heat[20, 20, 7] = 0.8
+    peaks = find_peaks(jnp.asarray(heat), thre=0.1, max_peaks=8, stride=4)
+    n_raw = np.asarray(peaks.n_raw)
+    assert n_raw[3] == 25
+    assert n_raw[7] == 2
+    assert np.asarray(peaks.valid)[3].sum() == 8      # table saturated
+    dropped = np.maximum(n_raw - 8, 0)
+    assert dropped[3] == 17 and dropped[7] == 0
+    # the 8 kept table slots hold the 8 strongest planted cells
+    kept = {tuple(c) for c in np.asarray(peaks.grid_yx)[3]}
+    assert kept == set(cells[-8:])
+
+
 def test_bilinear_sample_matches_numpy():
     rng = np.random.RandomState(0)
     m = rng.rand(8, 10).astype(np.float32)

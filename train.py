@@ -170,17 +170,19 @@ def main():
         # would force a host sync every step and kill async dispatch
         loss_accs, skip_accs = [], []
         swa_active = args.swa and epoch >= args.swa_start_epoch
+        rank, world = jax.process_index(), jax.process_count()
         for step, (imgs, masks, heats) in enumerate(
-                train_ds.batches(global_batch, steps, seed=epoch)):
+                train_ds.batches(global_batch, steps, seed=epoch,
+                                 rank=rank, world=world)):
             if swa_active:
                 # cyclic LR while averaging (train_distributed_SWA.py:365-371)
                 lr = train_lib.cyclic_learning_rate(tcfg, epoch, args.swa_start_epoch)
             else:
                 lr = train_lib.learning_rate(tcfg, epoch, step, steps, n_dev,
                                              use_warmup=not args.no_warmup)
-            batch = mesh_lib.shard_batch(mesh, (jnp.asarray(imgs),
-                                                jnp.asarray(masks),
-                                                jnp.asarray(heats)))
+            # each process contributes its local slice; jax stitches the
+            # global sharded batch (replaces DistributedSampler + DDP feed)
+            batch = mesh_lib.assemble_global_batch(mesh, (imgs, masks, heats))
             active_step = swa_step if (swa_active and swa_step) else train_step
             state, metrics = active_step(state, batch[0], batch[1], batch[2],
                                          jnp.float32(lr))
@@ -205,10 +207,8 @@ def main():
         val_losses = []
         if val_ds is not None:
             for imgs, masks, heats in val_ds.batches(global_batch, max(steps // 8, 1),
-                                                     seed=0):
-                batch = mesh_lib.shard_batch(mesh, (jnp.asarray(imgs),
-                                                    jnp.asarray(masks),
-                                                    jnp.asarray(heats)))
+                                                     seed=0, rank=rank, world=world):
+                batch = mesh_lib.assemble_global_batch(mesh, (imgs, masks, heats))
                 val_losses.append(float(eval_step(state.params, state.batch_stats,
                                                   batch[0], batch[1], batch[2])))
         train_loss = float(epoch_losses.mean()) if len(epoch_losses) else float("nan")
@@ -216,8 +216,9 @@ def main():
         dt = time.time() - t_epoch
         print(f"=== epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f} "
               f"({dt:.1f}s, {skipped} skipped batches)")
-        with open(log_path, "a") as f:
-            f.write(f"Epoch {epoch}\ttrain_loss: {train_loss}\tval_loss: {val_loss}\n")
+        if rank == 0:  # rank-0-only logging (train_distributed.py:318-324)
+            with open(log_path, "a") as f:
+                f.write(f"Epoch {epoch}\ttrain_loss: {train_loss}\tval_loss: {val_loss}\n")
 
         ckpt_payload = {
             "params": state.params, "batch_stats": state.batch_stats,
