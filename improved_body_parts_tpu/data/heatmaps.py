@@ -113,21 +113,25 @@ class Heatmapper:
         """joints: (n_people, 18, 3) canonical joints with visibility codes
         (0/1 = labeled, 2/3 = absent); mask_all: (h, w) all-person mask.
         Returns (h, w, 50) float32 NHWC ground truth."""
-        hm = np.zeros((self.h, self.w, NUM_LAYERS), np.float32)
+        # build channel-FIRST (each channel a contiguous plane — strided
+        # (h, w, 50) channel writes cost ~7 ms/sample at 512^2), transpose
+        # once at the end
+        hm = np.zeros((NUM_LAYERS, self.h, self.w), np.float32)
         joints = np.asarray(joints, np.float32)
 
         for j in range(NUM_PARTS):
             vis = joints[:, j, 2] < 2
-            hm[:, :, HEAT_START + j] = self.keypoint_channel(joints[vis, j, :2])
+            hm[HEAT_START + j] = self.keypoint_channel(joints[vis, j, :2])
 
         for li, (fr, to) in enumerate(LIMBS_CONN):
             vis = (joints[:, fr, 2] < 2) & (joints[:, to, 2] < 2)
-            hm[:, :, li] = self.limb_channel(joints[vis, fr, :2], joints[vis, to, :2])
+            hm[li] = self.limb_channel(joints[vis, fr, :2], joints[vis, to, :2])
 
         if mask_all is not None:
-            hm[:, :, BKG_START] = erode3(np.asarray(mask_all, np.float32))
-        hm[:, :, BKG_START + 1] = hm[:, :, HEAT_START:BKG_START].max(axis=2)
-        return np.clip(hm, 0.0, 1.0)
+            hm[BKG_START] = erode3(np.asarray(mask_all, np.float32))
+        hm[BKG_START + 1] = hm[HEAT_START:BKG_START].max(axis=0)
+        np.clip(hm, 0.0, 1.0, out=hm)
+        return np.ascontiguousarray(hm.transpose(1, 2, 0))
 
 
 def _offset_channels(hm: "Heatmapper", joints: np.ndarray):
