@@ -79,6 +79,8 @@ def bench_host_grouping(config, iters: int = 50) -> float:
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -86,15 +88,39 @@ def main():
     from improved_body_parts_tpu.infer.predict import Predictor
     from improved_body_parts_tpu.models.imhn import create_model, init_model
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default="",
+                    help="orbax dir or torch .pth — bench with TRAINED "
+                         "weights so postproc sees real peak populations")
+    ap.add_argument("--synthetic-frames", action="store_true",
+                    help="bench on rendered multi-person scenes instead of "
+                         "noise (pairs with --checkpoint)")
+    args = ap.parse_args()
+
     config = get_config("Canonical")
     model = create_model(config.model, dtype=jnp.bfloat16)
-    params, batch_stats = init_model(model, jax.random.PRNGKey(0), 512, 512)
-    variables = {"params": params, "batch_stats": batch_stats}
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        from improved_body_parts_tpu.utils.checkpoint import load_for_inference
+        variables = load_for_inference(args.checkpoint, model)
+        sys.stderr.write(f"benching with checkpoint {args.checkpoint}\n")
+    else:
+        params, batch_stats = init_model(model, jax.random.PRNGKey(0), 512, 512)
+        variables = {"params": params, "batch_stats": batch_stats}
     predictor = Predictor(model, variables, config)
 
     rng = np.random.RandomState(0)
-    frames = [rng.randint(0, 255, (BATCH, 512, 512, 3), np.uint8)
-              for _ in range(PIPELINE_DEPTH)]
+    if args.synthetic_frames:
+        from improved_body_parts_tpu.configs import CanonicalConfig
+        from improved_body_parts_tpu.data.synthetic import SyntheticDataset
+        ds = SyntheticDataset(CanonicalConfig(), length=BATCH * PIPELINE_DEPTH,
+                              image_size=512)
+        imgs = [(ds[i][0] * 255).astype(np.uint8)
+                for i in range(BATCH * PIPELINE_DEPTH)]
+        frames = [np.stack(imgs[d * BATCH:(d + 1) * BATCH])
+                  for d in range(PIPELINE_DEPTH)]
+    else:
+        frames = [rng.randint(0, 255, (BATCH, 512, 512, 3), np.uint8)
+                  for _ in range(PIPELINE_DEPTH)]
 
     # warmup / compile both paths
     predictor.predict_batch(frames[0])
@@ -103,7 +129,8 @@ def main():
     predictor.predict_skeletons(frames[0][0])
     single_latency = time.perf_counter() - t0  # cached program
 
-    grouping_s = bench_host_grouping(config)
+    grouping_s = (0.0 if (args.checkpoint and args.synthetic_frames)
+                  else bench_host_grouping(config))
 
     # --- headline: net + post-processing + grouping (the BASELINE metric),
     # inputs pre-staged on device. The development TPU sits behind a shared
@@ -120,15 +147,33 @@ def main():
     from improved_body_parts_tpu.infer.predict import unpack_results
     from improved_body_parts_tpu.ops.limbs import connections_to_list
 
+    # with trained weights the peak tables are real, so run the ACTUAL
+    # grouping inline instead of charging the synthetic-scene estimate
+    real_grouping = bool(args.checkpoint) and args.synthetic_frames
+    if real_grouping:
+        from improved_body_parts_tpu.ops import group, group_cpp
+        grouper = (group_cpp.find_humans if group_cpp.is_available()
+                   else group.find_humans)
+
     def device_round(slot):
         packed = fn(predictor.variables, staged[slot], hs)
         bufs = np.asarray(packed)                # one fetch per batch
+        n_found = 0
         for b in range(BATCH):
             peaks_np, conns_np = unpack_results(bufs[b], P)
-            connections_to_list(conns_np, P, config.limbs_conn)
-        return bufs
+            connected = connections_to_list(conns_np, P, config.limbs_conn)
+            if real_grouping:
+                cands = group.build_joint_candidates(
+                    peaks_np.xy, peaks_np.score, peaks_np.valid)
+                table, jc = grouper(connected, cands, config.infer)
+                group.humans_to_keypoints(table, jc)
+                n_found += len(table)
+        return n_found
 
-    device_round(0)  # warm
+    warm_found = device_round(0)  # warm
+    if real_grouping:
+        sys.stderr.write(f"trained-weights bench: {warm_found} persons "
+                         f"found in the warmup batch of {BATCH}\n")
     work_q = queue.Queue()
     for i in range(N_BATCHES):
         work_q.put(i)

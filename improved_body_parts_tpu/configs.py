@@ -119,7 +119,10 @@ class ModelConfig:
     bn: bool = True
     se_reduction: int = 16
     # variant switches (reference ablation family, SURVEY C21):
-    cross_stack: bool = True        # False = posenet_independent.py (no skips)
+    cross_stack: bool = True        # False = no per-scale cross-stack skips
+    legacy_blocks: bool = False     # True = the AE-family IndependentPoseNet
+    #                                 (plain-conv stem + old hourglass,
+    #                                 models/layers.py + posenet_independent.py)
     extra_attention: bool = False   # True = posenet_final.py channel_attention
     remat: bool = False             # rematerialize hourglass activations
                                     # (trades ~30% step time for ~2x batch)
@@ -272,7 +275,8 @@ CONFIGS: Dict[str, CanonicalConfig] = {
     "Dense384": _variant(384, 384, 192, nstack=4, sigma=7.0, paf_sigma=5.0),
     "Final384x4": _variant(384, 256, 128, nstack=4, sigma=7.0, paf_sigma=5.0),
     # ablation variants (reference posenet_independent.py / posenet_final.py)
-    "Independent": CanonicalConfig(model=ModelConfig(cross_stack=False)),
+    "Independent": CanonicalConfig(model=ModelConfig(cross_stack=False,
+                                                     legacy_blocks=True)),
     "FinalAttention": CanonicalConfig(model=ModelConfig(extra_attention=True)),
     # light 4-stage (reference posenet3.py)
     "Light512": CanonicalConfig(model=ModelConfig(inp_dim=128, increase=64)),

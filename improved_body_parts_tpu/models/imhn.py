@@ -282,8 +282,96 @@ class PoseNet(nn.Module):
         return [[p.astype(jnp.float32) for p in stack] for stack in preds]
 
 
+class LegacyHourglass(nn.Module):
+    """The OLD (AE-style) hourglass: plain 3x3 conv blocks instead of
+    residuals and NO post-upsample refine conv (up2 = upsample(low3)
+    directly). reference: models/layers.py:97-169.
+    """
+    depth: int = 4
+    nfeat: int = 256
+    increase: int = 128
+    dtype: Any = jnp.bfloat16
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        down_feats: List[jnp.ndarray] = []
+
+        def level(d: int, h: jnp.ndarray) -> jnp.ndarray:
+            c = self.nfeat + self.increase * d
+            c_next = c + self.increase
+            up1 = ConvBlock(c, kernel=3, name=f"d{d}_up1", **kw)(h, train)
+            low = max_pool2(h)
+            low = ConvBlock(c_next, kernel=3, name=f"d{d}_low1", **kw)(low, train)
+            if d == self.depth - 1:
+                low2 = ConvBlock(c_next, kernel=3, name=f"d{d}_inner", **kw)(low, train)
+            else:
+                low2 = level(d + 1, low)
+            down_feats.append(low2)
+            low3 = ConvBlock(c, kernel=3, name=f"d{d}_low2", **kw)(low2, train)
+            return up1 + upsample_nearest2(low3)
+
+        top = level(0, x)
+        return [top] + down_feats[::-1]
+
+
+class IndependentPoseNet(nn.Module):
+    """The AE-family ablation network (models/posenet_independent.py:39-96):
+    plain-conv stem (no dilation), LegacyHourglass, per-scale-width
+    Features WITHOUT squeeze-excitation, and NO per-scale cross-stack
+    skips — only the scale-0 merge feeds the next stack's input. (The
+    reference inits this family's convs N(0, 0.01),
+    posenet_independent.py:99-106; we keep the live library's N(0, 0.001)
+    — a training-dynamics-only difference in a from-scratch ablation.)"""
+    cfg: ModelConfig = ModelConfig()
+    dtype: Any = jnp.bfloat16
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, imgs: jnp.ndarray, train: bool = False):
+        cfg = self.cfg
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        x = imgs.astype(self.dtype)
+        # stem: Conv7/s2 -> Conv3 -> pool -> Conv3 -> Conv3 (:52-58)
+        x = ConvBlock(64, kernel=7, stride=2, name="pre0", **kw)(x, train)
+        x = ConvBlock(128, kernel=3, name="pre1", **kw)(x, train)
+        x = max_pool2(x)
+        x = ConvBlock(128, kernel=3, name="pre2", **kw)(x, train)
+        x = ConvBlock(cfg.inp_dim, kernel=3, name="pre3", **kw)(x, train)
+
+        preds: List[List[jnp.ndarray]] = []
+        for t in range(cfg.nstack):
+            hg_outs = LegacyHourglass(depth=cfg.depth, nfeat=cfg.inp_dim,
+                                      increase=cfg.increase,
+                                      name=f"hg{t}", **kw)(x, train)
+            stack_preds: List[jnp.ndarray] = []
+            for s in range(cfg.num_scales):
+                c = cfg.inp_dim + s * cfg.increase
+                f = ConvBlock(c, kernel=3, name=f"feat{t}_s{s}a", **kw)(
+                    hg_outs[s], train)
+                f = ConvBlock(c, kernel=3, name=f"feat{t}_s{s}b", **kw)(f, train)
+                pred = ConvBlock(cfg.oup_dim, kernel=1, bn=False, relu=False,
+                                 dtype=self.dtype,
+                                 name=f"out{t}_s{s}")(f, train)
+                stack_preds.append(pred)
+                if t != cfg.nstack - 1 and s == 0:
+                    # only the top scale chains into the next stack (:89-92)
+                    x = (x
+                         + ConvBlock(c, kernel=1, bn=False, relu=False,
+                                     dtype=self.dtype,
+                                     name=f"merge_pred{t}")(pred, train)
+                         + ConvBlock(c, kernel=1, bn=False, relu=False,
+                                     dtype=self.dtype,
+                                     name=f"merge_feat{t}")(f, train))
+            preds.append(stack_preds)
+        return [[p.astype(jnp.float32) for p in stack] for stack in preds]
+
+
 def create_model(cfg: ModelConfig = ModelConfig(), dtype: Any = jnp.bfloat16,
-                 axis_name: Optional[str] = None) -> PoseNet:
+                 axis_name: Optional[str] = None) -> nn.Module:
+    if cfg.legacy_blocks:
+        return IndependentPoseNet(cfg=cfg, dtype=dtype, axis_name=axis_name)
     return PoseNet(cfg=cfg, dtype=dtype, axis_name=axis_name)
 
 
