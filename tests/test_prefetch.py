@@ -33,6 +33,47 @@ def test_prefetch_matches_plan_and_is_deterministic():
         assert got == plan, (workers, got, plan)
 
 
+def test_prefetch_rank_world_partitions_globally():
+    """Per-rank prefetched batches concatenate to the world=1 batches —
+    the DistributedSampler contract every dataset shares
+    (train_distributed.py:209-211)."""
+    ds = _FakeDataset()
+    for workers in (1, 3):
+        full = list(PrefetchingLoader(ds, num_workers=workers)
+                    .batches(6, 3, seed=11))
+        r0 = list(PrefetchingLoader(ds, num_workers=workers)
+                  .batches(6, 3, seed=11, rank=0, world=3))
+        r1 = list(PrefetchingLoader(ds, num_workers=workers)
+                  .batches(6, 3, seed=11, rank=1, world=3))
+        r2 = list(PrefetchingLoader(ds, num_workers=workers)
+                  .batches(6, 3, seed=11, rank=2, world=3))
+        for s in range(3):
+            assert r0[s][0].shape[0] == 2
+            np.testing.assert_array_equal(
+                np.concatenate([r0[s][0], r1[s][0], r2[s][0]]), full[s][0])
+
+
+class _RngDataset(_FakeDataset):
+    """Augmenting dataset: the sample value depends on the per-item rng."""
+
+    def __getitem__(self, i, rng=None):
+        val = i if rng is None else i + rng.randint(1000) * 1000
+        img = np.full((8, 8, 3), val, np.float32)
+        return img, np.zeros((2, 2, 1), np.float32), np.zeros((2, 2, 50), np.float32)
+
+
+def test_prefetch_rank_world_same_augmentations():
+    """Per-item augmentation seeds are drawn from the GLOBAL plan, so a
+    sample gets the same augmentation no matter which rank loads it."""
+    ds = _RngDataset()
+    full = list(PrefetchingLoader(ds, num_workers=2).batches(4, 2, seed=3))
+    parts = [list(PrefetchingLoader(ds, num_workers=2)
+                  .batches(4, 2, seed=3, rank=r, world=2)) for r in range(2)]
+    for s in range(2):
+        np.testing.assert_array_equal(
+            np.concatenate([parts[0][s][0], parts[1][s][0]]), full[s][0])
+
+
 def test_prefetch_shapes():
     loader = PrefetchingLoader(_FakeDataset(), num_workers=2)
     batches = list(loader.batches(3, 2, seed=0))
