@@ -92,3 +92,122 @@ def nms(heat: jnp.ndarray, thre: float = 0.1,
     if jax.default_backend() == "tpu":
         return nms_pallas(heat, thre, footprint=footprint)
     return heatmap_nms(heat, thre, footprint=footprint)
+
+
+# ---------------------------------------------------------------------------
+# fused NMS -> top-k -> patch extraction (one VMEM pass per channel)
+# ---------------------------------------------------------------------------
+
+def _make_fused_peaks_kernel(footprint: str, max_peaks: int, win: int):
+    offsets = _PLUS_OFFSETS if footprint == "plus" else _SQUARE_OFFSETS
+    strict = footprint == "plus"
+    size = 2 * win + 1
+
+    def kernel(thre_ref, heat_ref, scores_ref, yx_ref, nraw_ref, patch_ref):
+        x = heat_ref[0]                                   # (H, W) in VMEM
+        h, w = x.shape
+        neg = jnp.float32(-jnp.inf)
+        padded = jnp.pad(x, 1, mode="constant", constant_values=neg)
+        hmax = x
+        for dy, dx in offsets:
+            hmax = jnp.maximum(hmax, padded[dy:dy + h, dx:dx + w])
+        thre = thre_ref[0, 0]
+        keep = (x >= hmax) & ((x > thre) if strict else (x >= thre))
+        nmsed = jnp.where(keep, x, 0.0)
+        nraw_ref[0, 0] = jnp.sum(keep.astype(jnp.int32))
+
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        tap_y = jax.lax.broadcasted_iota(jnp.int32, (size, h), 0)
+        span_y = jax.lax.broadcasted_iota(jnp.int32, (size, h), 1)
+        tap_x = jax.lax.broadcasted_iota(jnp.int32, (size, w), 0)
+        span_x = jax.lax.broadcasted_iota(jnp.int32, (size, w), 1)
+
+        def body(k, carry):
+            nm, scores, ys, xs, patches = carry
+            # masked-argmax round: strongest remaining NMS response.
+            # flat argmax by (score, lowest-flat-index) — same tie-break as
+            # a stable descending sort / lax.top_k
+            best = jnp.max(nm)
+            is_best = nm == best
+            flat_idx = jnp.min(jnp.where(
+                is_best, row_iota * w + col_iota, h * w))
+            cy = flat_idx // w
+            cx = flat_idx % w
+            # 5x5 patch about (cy,cx) from the ORIGINAL map as two one-hot
+            # contractions (rows outside the map give zero rows — exactly
+            # the zero-filled OOB cells of the XLA _gather_patch path)
+            ey = (tap_y + cy - win == span_y).astype(jnp.float32)  # (S, H)
+            ex = (tap_x + cx - win == span_x).astype(jnp.float32)  # (S, W)
+            patch = jax.lax.dot_general(
+                jax.lax.dot_general(ey, x, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32),
+                ex, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)                # (S, S)
+            scores = scores.at[k].set(best)
+            ys = ys.at[k].set(cy)
+            xs = xs.at[k].set(cx)
+            patches = patches.at[k].set(patch)
+            nm = jnp.where((row_iota == cy) & (col_iota == cx), 0.0, nm)
+            return nm, scores, ys, xs, patches
+
+        init = (nmsed,
+                jnp.zeros((max_peaks,), jnp.float32),
+                jnp.zeros((max_peaks,), jnp.int32),
+                jnp.zeros((max_peaks,), jnp.int32),
+                jnp.zeros((max_peaks, size, size), jnp.float32))
+        _, scores, ys, xs, patches = jax.lax.fori_loop(
+            0, max_peaks, body, init)
+        scores_ref[0] = scores
+        yx_ref[0] = jnp.stack([ys, xs], axis=-1)
+        patch_ref[0] = patches
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("max_peaks", "footprint", "win",
+                                             "interpret"))
+def fused_peaks_pallas(heat: jnp.ndarray, thre: float = 0.1,
+                       max_peaks: int = 32, footprint: str = "plus",
+                       win: int = 2, interpret: bool = False):
+    """One fused VMEM pass per channel: NMS + iterative top-k + 5x5 patch
+    extraction about each peak.
+
+    heat: (K, H, W). Returns (scores (K, P), yx (K, P, 2) int32 [y, x],
+    n_raw (K,) int32, patches (K, P, 2*win+1, 2*win+1)) where invalid slots
+    have score 0. Replaces the XLA nms -> reshape -> lax.top_k -> vmapped
+    dynamic patch gathers of ops/peaks.find_peaks — the gathers are
+    scalar-unit work and dominated the round-1 postproc profile; here each
+    patch is two one-hot contractions while the map is VMEM-resident.
+    """
+    k, h, w = heat.shape
+    size = 2 * win + 1
+    thre_arr = jnp.full((1, 1), thre, jnp.float32)
+    out = pl.pallas_call(
+        _make_fused_peaks_kernel(footprint, max_peaks, win),
+        grid=(k,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, max_peaks), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, max_peaks, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, max_peaks, size, size), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, max_peaks), jnp.float32),
+            jax.ShapeDtypeStruct((k, max_peaks, 2), jnp.int32),
+            jax.ShapeDtypeStruct((k, 1), jnp.int32),
+            jax.ShapeDtypeStruct((k, max_peaks, size, size), jnp.float32),
+        ],
+        interpret=interpret,
+    )(thre_arr, heat.astype(jnp.float32))
+    scores, yx, n_raw, patches = out
+    return scores, yx, n_raw[:, 0], patches

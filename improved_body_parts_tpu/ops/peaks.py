@@ -194,11 +194,20 @@ def _refine_bicubic(map2d: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
     argmax — including its row-major tie-break — matches numpy's over the
     cropped map. Returns (x_img, y_img, score)."""
     win = 2
-    up = stride
-    size = 2 * win + 1
     h, w = map2d.shape
     patch, inb = _gather_patch(map2d, cy, cx, win)
     patch = jnp.where(inb, patch, 0.0)   # clipped cells have zero basis rows
+    return _refine_bicubic_from_patch(patch, cy, cx, h, w, stride, cubic_a)
+
+
+def _refine_bicubic_from_patch(patch: jnp.ndarray, cy: jnp.ndarray,
+                               cx: jnp.ndarray, h: int, w: int,
+                               stride: int, cubic_a: float = CV2_CUBIC_A,
+                               win: int = 2):
+    """Same refinement given a pre-gathered (2*win+1)^2 patch whose
+    out-of-map cells are zero (the fused Pallas kernel's output)."""
+    up = stride
+    size = 2 * win + 1
     bases_np, valids_np = _border_case_bases(win, up, cubic_a)
     bases = jnp.asarray(bases_np)
     valids = jnp.asarray(valids_np)
@@ -252,11 +261,13 @@ def _refine_centroid(map2d: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("max_peaks", "stride", "refine",
-                                             "thre", "footprint", "cubic_a"))
+                                             "thre", "footprint", "cubic_a",
+                                             "fused"))
 def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
                stride: int = 4, refine: str = "bicubic",
                footprint: str | None = None,
-               cubic_a: float = CV2_CUBIC_A) -> PeakTable:
+               cubic_a: float = CV2_CUBIC_A,
+               fused: bool | None = None) -> PeakTable:
     """Find up to ``max_peaks`` peaks per joint-type channel.
 
     heat: (H, W, K) stride-resolution keypoint heatmaps (K=18).
@@ -264,12 +275,45 @@ def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
     the "plus" NMS footprint; refine="centroid" (original path) with the
     "square" one — pass ``footprint`` to override. ``cubic_a`` selects the
     cubic kernel (-0.75 = cv2/reference-exact; -0.5 = Keys/jax flavour).
+
+    ``fused`` selects the single-pass Pallas kernel (NMS + top-k + patch
+    extraction fused in VMEM, pallas_kernels.fused_peaks_pallas; bicubic
+    refinement only). None = automatic: on for the TPU backend.
     Returns a PeakTable with refined coordinates in padded-image pixels.
     """
     h, w, k = heat.shape
     if footprint is None:
         footprint = "plus" if refine == "bicubic" else "square"
     chan_first = jnp.moveaxis(heat, -1, 0)                 # (K, H, W)
+    if fused is None:
+        # stays opt-in until the Mosaic lowering is validated on real
+        # hardware each round (tools/profile_postproc.py --fused)
+        fused = False
+
+    if fused and refine == "bicubic":
+        from improved_body_parts_tpu.ops.pallas_kernels import (
+            fused_peaks_pallas)
+        interpret = jax.default_backend() != "tpu"
+        top_scores, yx, n_raw, patches = fused_peaks_pallas(
+            chan_first, thre, max_peaks=max_peaks, footprint=footprint,
+            interpret=interpret)
+        valid = top_scores > 0.0
+        cy, cx = yx[..., 0], yx[..., 1]
+
+        def per_channel(patches_c, cys, cxs):
+            return jax.vmap(
+                lambda p, y, x: _refine_bicubic_from_patch(
+                    p, y, x, h, w, stride, cubic_a=cubic_a))(
+                patches_c, cys, cxs)
+
+        xs, ys, scores = jax.vmap(per_channel)(patches, cy, cx)
+        xy = jnp.stack([xs, ys], axis=-1)
+        scores = jnp.where(valid, scores, 0.0)
+        return PeakTable(xy=xy.astype(jnp.float32),
+                         score=scores.astype(jnp.float32),
+                         valid=valid, grid_yx=jnp.stack([cy, cx], axis=-1),
+                         n_raw=n_raw)
+
     from improved_body_parts_tpu.ops.pallas_kernels import nms
     nmsed = nms(chan_first, thre, footprint=footprint)
 

@@ -38,3 +38,30 @@ def test_nms_pallas_plateau_keeps_both():
     want = np.asarray(heatmap_nms(jnp.asarray(heat), 0.1))[0]
     np.testing.assert_array_equal(got, want)
     assert got[3, 3] == pytest.approx(0.7) and got[3, 4] == pytest.approx(0.7)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fused_peaks_matches_unfused_find_peaks(seed):
+    """The fused Pallas kernel path (NMS + top-k + patch extraction in one
+    VMEM pass) must produce the SAME PeakTable as the XLA nms/top_k/gather
+    path — coordinates, scores, validity, n_raw and slot order."""
+    from improved_body_parts_tpu.ops.peaks import find_peaks
+    rng = np.random.RandomState(seed)
+    heat = (rng.rand(24, 20, 6).astype(np.float32) * 0.6)
+    # sprinkle strong isolated peaks incl. at borders
+    for (y, x, c) in [(0, 0, 0), (23, 19, 1), (5, 7, 2), (12, 3, 2),
+                      (1, 18, 4)]:
+        heat[y, x, c] = 0.9 + 0.01 * c
+    a = find_peaks(jnp.asarray(heat), thre=0.1, max_peaks=8, stride=4,
+                   fused=False)
+    b = find_peaks(jnp.asarray(heat), thre=0.1, max_peaks=8, stride=4,
+                   fused=True)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_array_equal(np.asarray(a.n_raw), np.asarray(b.n_raw))
+    v = np.asarray(a.valid)
+    np.testing.assert_array_equal(np.asarray(a.grid_yx)[v],
+                                  np.asarray(b.grid_yx)[v])
+    np.testing.assert_allclose(np.asarray(a.score)[v], np.asarray(b.score)[v],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.xy)[v], np.asarray(b.xy)[v],
+                               rtol=1e-5, atol=1e-4)

@@ -65,6 +65,11 @@ def main():
                           stride=config.stride)
 
     @jax.jit
+    def stage_peaks_fused(h):
+        return find_peaks(h, thre=icfg.thre1, max_peaks=icfg.max_peaks,
+                          stride=config.stride, fused=True)
+
+    @jax.jit
     def stage_full(h, p):
         peaks = find_peaks(h, thre=icfg.thre1, max_peaks=icfg.max_peaks,
                            stride=config.stride)
@@ -89,6 +94,10 @@ def main():
     t_nms = timeit("nms", stage_nms, heat)
     t_topk = timeit("nms+topk", stage_topk, heat)
     t_peaks = timeit("find_peaks(+refine)", stage_peaks, heat)
+    try:
+        timeit("find_peaks FUSED", stage_peaks_fused, heat)
+    except Exception as e:  # Mosaic lowering not validated yet
+        print(f"fused path failed: {type(e).__name__}: {str(e)[:200]}")
     t_full = timeit("full postproc", stage_full, heat, paf)
     print(f"{'-> topk alone':24s} {(t_topk-t_nms)*1e3:8.3f} ms")
     print(f"{'-> refine alone':24s} {(t_peaks-t_topk)*1e3:8.3f} ms")
