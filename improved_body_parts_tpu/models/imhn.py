@@ -240,14 +240,20 @@ class PoseNet(nn.Module):
     def __call__(self, imgs: jnp.ndarray, train: bool = False):
         cfg = self.cfg
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
-        x = Backbone(out_dim=cfg.inp_dim, name="pre", **kw)(imgs.astype(self.dtype), train)
+        # rematerialize the big trunks in the backward pass to fit larger
+        # batches in HBM (jax.checkpoint; TPU memory/FLOPs trade): the
+        # hourglasses (round 1, 2x batch) and the backbone + per-scale
+        # feature trunks (round 2 — the remaining live activations)
+        BB = (nn.remat(Backbone, static_argnums=(2,)) if cfg.remat
+              else Backbone)
+        HG = (nn.remat(Hourglass, static_argnums=(2,)) if cfg.remat
+              else Hourglass)
+        FT = (nn.remat(Features, static_argnums=(2,)) if cfg.remat
+              else Features)
+        x = BB(out_dim=cfg.inp_dim, name="pre", **kw)(imgs.astype(self.dtype), train)
 
         preds: List[List[jnp.ndarray]] = []
         feat_caches: List[Optional[jnp.ndarray]] = [None] * cfg.num_scales
-        # rematerialize each hourglass in the backward pass to fit larger
-        # batches in HBM (jax.checkpoint; TPU memory/FLOPs trade)
-        HG = (nn.remat(Hourglass, static_argnums=(2,)) if cfg.remat
-              else Hourglass)
         for t in range(cfg.nstack):
             hg_outs = HG(depth=cfg.depth, nfeat=cfg.inp_dim,
                          increase=cfg.increase, name=f"hg{t}", **kw)(x, train)

@@ -114,7 +114,8 @@ def _make_fused_peaks_kernel(footprint: str, max_peaks: int, win: int):
         thre = thre_ref[0, 0]
         keep = (x >= hmax) & ((x > thre) if strict else (x >= thre))
         nmsed = jnp.where(keep, x, 0.0)
-        nraw_ref[0, 0] = jnp.sum(keep.astype(jnp.int32))
+        nraw_ref[0, 0] = jnp.full((nraw_ref.shape[-1],),
+                                  jnp.sum(keep.astype(jnp.int32)), jnp.int32)
 
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -122,6 +123,10 @@ def _make_fused_peaks_kernel(footprint: str, max_peaks: int, win: int):
         span_y = jax.lax.broadcasted_iota(jnp.int32, (size, h), 1)
         tap_x = jax.lax.broadcasted_iota(jnp.int32, (size, w), 0)
         span_x = jax.lax.broadcasted_iota(jnp.int32, (size, w), 1)
+
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, max_peaks), 1)
+        slot_iota3 = jax.lax.broadcasted_iota(
+            jnp.int32, (max_peaks, size, size), 0)
 
         def body(k, carry):
             nm, scores, ys, xs, patches = carry
@@ -144,22 +149,25 @@ def _make_fused_peaks_kernel(footprint: str, max_peaks: int, win: int):
                                     preferred_element_type=jnp.float32),
                 ex, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)                # (S, S)
-            scores = scores.at[k].set(best)
-            ys = ys.at[k].set(cy)
-            xs = xs.at[k].set(cx)
-            patches = patches.at[k].set(patch)
+            # slot-k writes as one-hot SELECTS (Mosaic lowers neither
+            # scatter (.at[k].set) nor lax.scan carries here)
+            hit = slot_iota == k                                   # (1, P)
+            scores = jnp.where(hit, best, scores)
+            ys = jnp.where(hit, cy, ys)
+            xs = jnp.where(hit, cx, xs)
+            patches = jnp.where(slot_iota3 == k, patch[None], patches)
             nm = jnp.where((row_iota == cy) & (col_iota == cx), 0.0, nm)
             return nm, scores, ys, xs, patches
 
         init = (nmsed,
-                jnp.zeros((max_peaks,), jnp.float32),
-                jnp.zeros((max_peaks,), jnp.int32),
-                jnp.zeros((max_peaks,), jnp.int32),
+                jnp.zeros((1, max_peaks), jnp.float32),
+                jnp.zeros((1, max_peaks), jnp.int32),
+                jnp.zeros((1, max_peaks), jnp.int32),
                 jnp.zeros((max_peaks, size, size), jnp.float32))
         _, scores, ys, xs, patches = jax.lax.fori_loop(
             0, max_peaks, body, init)
-        scores_ref[0] = scores
-        yx_ref[0] = jnp.stack([ys, xs], axis=-1)
+        scores_ref[0, 0] = scores[0]
+        yx_ref[0] = jnp.stack([ys[0], xs[0]], axis=-1)
         patch_ref[0] = patches
 
     return kernel
@@ -191,23 +199,27 @@ def fused_peaks_pallas(heat: jnp.ndarray, thre: float = 0.1,
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        # Mosaic block-shape rule: the last two dims of every block must be
+        # divisible by (8, 128) or EQUAL the overall array dims — so every
+        # per-channel output keeps a leading (1,) block dim and full trailing
+        # dims ((k, 1, P) instead of (k, P), etc.)
         out_specs=[
-            pl.BlockSpec((1, max_peaks), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, max_peaks), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, max_peaks, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, max_peaks), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, max_peaks, size, size), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((k, max_peaks), jnp.float32),
+            jax.ShapeDtypeStruct((k, 1, max_peaks), jnp.float32),
             jax.ShapeDtypeStruct((k, max_peaks, 2), jnp.int32),
-            jax.ShapeDtypeStruct((k, 1), jnp.int32),
+            jax.ShapeDtypeStruct((k, 1, max_peaks), jnp.int32),
             jax.ShapeDtypeStruct((k, max_peaks, size, size), jnp.float32),
         ],
         interpret=interpret,
     )(thre_arr, heat.astype(jnp.float32))
     scores, yx, n_raw, patches = out
-    return scores, yx, n_raw[:, 0], patches
+    return scores[:, 0], yx, n_raw[:, 0, 0], patches

@@ -91,3 +91,37 @@ def test_jit_and_grad(tiny_model):
     g = jax.grad(loss_fn)(params)
     gnorm = sum(jnp.sum(jnp.square(v)) for v in jax.tree_util.tree_leaves(g))
     assert jnp.isfinite(gnorm)
+
+
+def test_remat_numerics_identical(tiny_model):
+    """--remat (backbone + hourglasses + feature trunks under
+    jax.checkpoint) must not change forward values, gradients or the param
+    tree structure — it only trades backward-pass FLOPs for memory."""
+    model, params, batch_stats = tiny_model
+    cfg_r = ModelConfig(nstack=2, inp_dim=32, increase=16, oup_dim=50,
+                        remat=True)
+    model_r = create_model(cfg_r, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+
+    # identical param structure -> same checkpoint compatibility
+    params_r, bs_r = init_model(model_r, jax.random.PRNGKey(0), 64, 64)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_r))
+
+    out = model.apply({"params": params, "batch_stats": batch_stats},
+                      x, train=False)
+    out_r = model_r.apply({"params": params, "batch_stats": batch_stats},
+                          x, train=False)
+    np.testing.assert_allclose(np.asarray(out[1][0]), np.asarray(out_r[1][0]),
+                               atol=1e-6)
+
+    def loss_fn(m, p):
+        o, _ = m.apply({"params": p, "batch_stats": batch_stats}, x,
+                       train=True, mutable=["batch_stats"])
+        return sum(jnp.sum(jnp.square(s)) for st in o for s in st)
+
+    g = jax.grad(lambda p: loss_fn(model, p))(params)
+    g_r = jax.grad(lambda p: loss_fn(model_r, p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

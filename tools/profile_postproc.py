@@ -81,12 +81,12 @@ def main():
         return peaks.score, conns.score
 
     def timeit(name, fn, *xs):
-        fn(*xs)            # compile
-        sync()
+        out = fn(*xs)      # compile
+        sync(out)
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = fn(*xs)
-        sync()
+        sync(out)
         dt = (time.perf_counter() - t0) / args.iters
         print(f"{name:24s} {dt*1e3:8.3f} ms")
         return dt
