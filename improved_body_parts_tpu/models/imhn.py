@@ -240,17 +240,14 @@ class PoseNet(nn.Module):
     def __call__(self, imgs: jnp.ndarray, train: bool = False):
         cfg = self.cfg
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
-        # rematerialize the big trunks in the backward pass to fit larger
-        # batches in HBM (jax.checkpoint; TPU memory/FLOPs trade): the
-        # hourglasses (round 1, 2x batch) and the backbone + per-scale
-        # feature trunks (round 2 — the remaining live activations)
-        BB = (nn.remat(Backbone, static_argnums=(2,)) if cfg.remat
-              else Backbone)
+        # rematerialize each hourglass in the backward pass to fit larger
+        # batches in HBM (jax.checkpoint; TPU memory/FLOPs trade).
+        # MEASURED round 2: extending remat to Backbone+Features as well
+        # lets bs16 fit but collapses throughput (46 s/step at bs8 — XLA
+        # recompute-storms/spills); hourglass-only is the right cut.
         HG = (nn.remat(Hourglass, static_argnums=(2,)) if cfg.remat
               else Hourglass)
-        FT = (nn.remat(Features, static_argnums=(2,)) if cfg.remat
-              else Features)
-        x = BB(out_dim=cfg.inp_dim, name="pre", **kw)(imgs.astype(self.dtype), train)
+        x = Backbone(out_dim=cfg.inp_dim, name="pre", **kw)(imgs.astype(self.dtype), train)
 
         preds: List[List[jnp.ndarray]] = []
         feat_caches: List[Optional[jnp.ndarray]] = [None] * cfg.num_scales

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Measure the host data-pipeline throughput at full 512^2 resolution.
 
-VERDICT round-1 weak #5: the 512^2 remat train step consumes ~60.6
-samples/s/chip, but the real augmentation + heatmapper path was only ever
-timed at 256^2 synthetic. This tool builds a reference-format h5
+VERDICT round-1 weak #5: the real augmentation + heatmapper path was only
+ever timed at 256^2 synthetic, never against the 512^2 train-step demand
+(measured this round: ~2 samples/s/chip at bs8 over the tunnel — see
+NOTES.md honesty correction). This tool builds a reference-format h5
 (coco_masks_hdf5.py:270-314 layout) with multi-person 512^2-class records,
 then times:
 
