@@ -1,0 +1,62 @@
+"""PipelinedServer: batching, coordinate mapping, shutdown semantics —
+exercised against a stub predictor (no device needed)."""
+
+import threading
+
+import numpy as np
+
+from improved_body_parts_tpu.infer.serving import PipelinedServer
+
+
+class _StubPredictor:
+    """Letterboxes like the real Predictor (square boxsize=64) and
+    'detects' one person whose nose sits at the letterboxed image center."""
+
+    def __init__(self):
+        self.calls = []
+        self.lock = threading.Lock()
+
+    def letterbox(self, img):
+        size = 64
+        h, w = img.shape[:2]
+        scale = min(size / h, size / w)
+        out = np.zeros((size, size, 3), np.uint8)
+        return out, scale
+
+    def predict_batch(self, imgs, img_hs=None, use_cpp=None):
+        with self.lock:
+            self.calls.append(len(imgs))
+        out = []
+        for _ in range(len(imgs)):
+            kps = np.zeros((1, 18, 3))
+            kps[0, 0] = [32.0, 16.0, 1.0]
+            out.append((kps, np.array([2.5])))
+        return out
+
+
+def test_serving_batches_and_maps_coords():
+    pred = _StubPredictor()
+    serve = PipelinedServer(pred, batch_size=4, depth=1, flush_ms=50.0)
+    # 128x256 image -> letterbox scale 0.25; nose (32,16) -> (128, 64)
+    imgs = [np.zeros((128, 256, 3), np.uint8) for _ in range(6)]
+    results = serve.predict_many(imgs)
+    serve.close()
+    assert len(results) == 6
+    for kps, scores in results:
+        assert kps.shape == (1, 18, 3)
+        np.testing.assert_allclose(kps[0, 0, :2], [128.0, 64.0])
+        assert scores[0] == 2.5
+    # every dispatch is padded to the full batch size (one compiled program)
+    assert all(c == 4 for c in pred.calls)
+    # 6 submits at batch 4 -> 2 dispatches (flush window batches the burst)
+    assert len(pred.calls) == 2
+
+
+def test_serving_close_rejects_new_work():
+    serve = PipelinedServer(_StubPredictor(), batch_size=2, depth=2)
+    serve.close()
+    try:
+        serve.submit(np.zeros((32, 32, 3), np.uint8))
+        raise AssertionError("expected RuntimeError after close")
+    except RuntimeError:
+        pass
