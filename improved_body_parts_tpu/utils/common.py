@@ -106,7 +106,10 @@ class Human:
         leye = _find_part(parts, CocoPart.LEye)
         if reye is not None and leye is not None:
             size = max(size, (reye.x - leye.x) * 2.0)
-            size = max(size, np.hypot(reye.x - leye.x, reye.y - leye.y) * 2.0)
+            # reference: img_w * hypot(NORMALIZED dx, NORMALIZED dy) —
+            # with pixel coords that is hypot(dx, dy * img_w / img_h)
+            size = max(size, np.hypot(reye.x - leye.x,
+                                      (reye.y - leye.y) * img_w / img_h) * 2.0)
         if mode == 1 and reye is None and leye is None:
             return None
         rear = _find_part(parts, CocoPart.REar)
