@@ -166,22 +166,31 @@ class Predictor:
     """Caches one compiled device program per padded input shape."""
 
     def __init__(self, model, variables, config: CanonicalConfig = CanonicalConfig(),
-                 refine: str = "bicubic"):
+                 refine: str = "bicubic", suppress_pad_peaks: bool = True):
         self.model = model
         self.variables = variables
         self.config = config
         self.refine = refine
+        # invalidate peaks that land in the bucket/letterbox pad band (the
+        # reference ORIGINAL path's unpad-before-peaks semantics,
+        # parse_skeletons.py:272-281); False reproduces the refactor path,
+        # which keeps peaks on the full padded map (evaluate.py:74-80)
+        self.suppress_pad_peaks = suppress_pad_peaks
         self._compiled: Dict[Tuple, object] = {}
 
     # -- device programs ----------------------------------------------------
-    def _postprocess(self, avg, img_h):
-        """avg: (h/4, w/4, 50) flip-averaged maps -> (packed, paf, heat)."""
+    def _postprocess(self, avg, img_h, content_hw=None):
+        """avg: (h/4, w/4, 50) flip-averaged maps -> (packed, paf, heat).
+        ``content_hw``: (2,) float [h, w] valid-content extent in padded-image
+        pixels (peaks beyond it are suppressed when enabled)."""
         cfg, icfg = self.config, self.config.infer
+        if not self.suppress_pad_peaks:
+            content_hw = None
         paf = avg[..., :PAF_LAYERS]
         heat = avg[..., PAF_LAYERS:NUM_LAYERS]
         peaks = find_peaks(heat[..., :NUM_PARTS], thre=icfg.thre1,
                            max_peaks=icfg.max_peaks, stride=cfg.stride,
-                           refine=self.refine)
+                           refine=self.refine, content_hw=content_hw)
         cand = score_connections(
             paf, peaks.xy, peaks.score, peaks.valid, img_h,
             mid_num=icfg.mid_num, stride=cfg.stride,
@@ -204,10 +213,10 @@ class Predictor:
         key = ("single", h, w)
         if key not in self._compiled:
             @jax.jit
-            def run(variables, img_u8, img_h):
+            def run(variables, img_u8, img_h, content_hw):
                 img = img_u8.astype(jnp.float32) / 255.0
                 avg = self._flip_avg_maps(variables, img[None])[0]
-                return self._postprocess(avg, img_h)
+                return self._postprocess(avg, img_h, content_hw)
             self._compiled[key] = run
         return self._compiled[key]
 
@@ -231,7 +240,7 @@ class Predictor:
         base_h4, base_w4 = h // self.config.stride, w // self.config.stride
 
         @jax.jit
-        def run(variables, img_u8, img_h):
+        def run(variables, img_u8, img_h, content_hw):
             img = img_u8.astype(jnp.float32) / 255.0
             acc = jnp.zeros((base_h4, base_w4, NUM_LAYERS), jnp.float32)
             for s in scales:
@@ -260,7 +269,7 @@ class Predictor:
                     valid = avg[:vh, :vw, :]
                     acc = acc + resize_cubic_cv2(valid, base_h4, base_w4)
             avg = acc / float(len(scales) * len(angles))
-            return self._postprocess(avg, img_h)
+            return self._postprocess(avg, img_h, content_hw)
 
         self._compiled[key] = run
         return run
@@ -269,27 +278,32 @@ class Predictor:
         key = ("batch", batch, h, w)
         if key not in self._compiled:
             @jax.jit
-            def run(variables, imgs_u8, img_hs):
+            def run(variables, imgs_u8, img_hs, content_hws):
                 imgs = imgs_u8.astype(jnp.float32) / 255.0
                 avgs = self._flip_avg_maps(variables, imgs)
-                packed, _, _ = jax.vmap(self._postprocess)(avgs, img_hs)
+                packed, _, _ = jax.vmap(self._postprocess)(avgs, img_hs,
+                                                           content_hws)
                 return packed
             self._compiled[key] = run
         return self._compiled[key]
 
     # -- host API ------------------------------------------------------------
-    def predict_maps(self, img: np.ndarray, img_h_override: Optional[float] = None):
+    def predict_maps(self, img: np.ndarray, img_h_override: Optional[float] = None,
+                     content_hw_override: Optional[Tuple[float, float]] = None):
         """Run the device program on a BGR uint8 image (any size).
         Returns (packed_device, paf_device, heat_device, (orig_h, orig_w)).
-        ``img_h_override`` replaces the limb-length-penalty height (used by
-        the letterbox path where the content is smaller than the canvas)."""
+        ``img_h_override`` replaces the limb-length-penalty height and
+        ``content_hw_override`` the pad-suppression extent (both used by the
+        letterbox path where the content is smaller than the canvas)."""
         icfg = self.config.infer
         padded, (orig_h, orig_w) = pad_image_to_bucket(
             img, bucket=icfg.max_downsample, pad_value=icfg.pad_value,
             max_hw=(icfg.img_max_h, icfg.img_max_w))
         fn = self._device_fn(*padded.shape[:2])
+        content = content_hw_override or (orig_h, orig_w)
         packed, paf, heat = fn(self.variables, jnp.asarray(padded),
-                               jnp.float32(img_h_override or orig_h))
+                               jnp.float32(img_h_override or orig_h),
+                               jnp.asarray(content, jnp.float32))
         return packed, paf, heat, (orig_h, orig_w)
 
     def _group(self, peaks_np: PeakTable, conns_np: Connections,
@@ -315,7 +329,8 @@ class Predictor:
     def predict_maps_tta(self, img: np.ndarray,
                          scales: Tuple[float, ...] = (0.5, 1.0, 1.5, 2.0),
                          angles: Tuple[float, ...] = (0.0,),
-                         img_h_override: Optional[float] = None):
+                         img_h_override: Optional[float] = None,
+                         content_hw_override: Optional[Tuple[float, float]] = None):
         """Multi-scale / rotation TTA path. ``scales`` multiply the padded
         input size (the reference scales by boxsize/img_h * scale_search;
         pass those factors here). Returns (packed, paf, heat, (h, w))."""
@@ -325,8 +340,10 @@ class Predictor:
             max_hw=(icfg.img_max_h, icfg.img_max_w))
         fn = self._device_fn_tta(padded.shape[0], padded.shape[1],
                                  tuple(scales), tuple(angles))
+        content = content_hw_override or (orig_h, orig_w)
         packed, paf, heat = fn(self.variables, jnp.asarray(padded),
-                               jnp.float32(img_h_override or orig_h))
+                               jnp.float32(img_h_override or orig_h),
+                               jnp.asarray(content, jnp.float32))
         return packed, paf, heat, (orig_h, orig_w)
 
     def letterbox(self, img: np.ndarray) -> Tuple[np.ndarray, float]:
@@ -353,19 +370,24 @@ class Predictor:
         are mapped back to the original image)."""
         unscale = 1.0
         img_h_override = None
+        content_hw_override = None
         if fixed_size:
             orig_hw = img.shape[:2]
             img, scale_applied = self.letterbox(img)
             unscale = 1.0 / scale_applied
             img_h_override = orig_hw[0] * scale_applied  # content height
+            content_hw_override = (orig_hw[0] * scale_applied,
+                                   orig_hw[1] * scale_applied)
         scales_t = tuple(scales) if scales is not None else (1.0,)
         angles_t = tuple(angles)
         if scales_t != (1.0,) or angles_t != (0.0,):
             packed, paf, heat, (orig_h, orig_w) = self.predict_maps_tta(
-                img, scales_t, angles_t, img_h_override=img_h_override)
+                img, scales_t, angles_t, img_h_override=img_h_override,
+                content_hw_override=content_hw_override)
         else:
             packed, paf, heat, (orig_h, orig_w) = self.predict_maps(
-                img, img_h_override=img_h_override)
+                img, img_h_override=img_h_override,
+                content_hw_override=content_hw_override)
         if fixed_size:
             orig_h, orig_w = orig_hw
         buf = np.asarray(packed)              # the single D2H fetch
@@ -383,14 +405,20 @@ class Predictor:
         return kps, scores, aux
 
     def predict_batch(self, imgs: np.ndarray, img_hs: Optional[np.ndarray] = None,
-                      use_cpp: Optional[bool] = None):
+                      use_cpp: Optional[bool] = None,
+                      content_hws: Optional[np.ndarray] = None):
         """Batched path: (B, H, W, 3) uint8, same shape, already letterboxed.
+        ``content_hws`` (B, 2) [h, w] per-image valid-content extents (the
+        letterbox pad band beyond them is suppressed); default: full canvas.
         Returns a list of (keypoints, scores) per image."""
         B, h, w = imgs.shape[:3]
         if img_hs is None:
             img_hs = np.full((B,), h, np.float32)
+        if content_hws is None:
+            content_hws = np.tile(np.float32([h, w]), (B, 1))
         fn = self._device_fn_batch(B, h, w)
-        packed = fn(self.variables, jnp.asarray(imgs), jnp.asarray(img_hs))
+        packed = fn(self.variables, jnp.asarray(imgs), jnp.asarray(img_hs),
+                    jnp.asarray(content_hws, jnp.float32))
         bufs = np.asarray(packed)             # one fetch for the whole batch
         out = []
         P = self.config.infer.max_peaks

@@ -35,12 +35,20 @@ class PipelinedServer:
     ORIGINAL image coordinates, scores (N,))."""
 
     def __init__(self, predictor, batch_size: int = 8, depth: int = 4,
-                 flush_ms: float = 5.0, use_cpp: Optional[bool] = None):
+                 flush_ms: float = 5.0, use_cpp: Optional[bool] = None,
+                 max_pending: Optional[int] = None):
         self.predictor = predictor
         self.batch_size = batch_size
         self.flush_ms = flush_ms
         self.use_cpp = use_cpp
-        self._inq: "queue.Queue" = queue.Queue()
+        # bounded input queue: a producer faster than the device BLOCKS in
+        # submit() instead of accumulating decoded frames in host RAM.
+        # Default bound: enough to keep every in-flight batch full plus one
+        # spare batch per worker.
+        if max_pending is None:
+            max_pending = 2 * batch_size * max(1, depth)
+        self.max_pending = max_pending
+        self._inq: "queue.Queue" = queue.Queue(maxsize=max_pending)
         self._closed = False
         self._workers = [threading.Thread(target=self._worker, daemon=True)
                          for _ in range(max(1, depth))]
@@ -48,13 +56,21 @@ class PipelinedServer:
             w.start()
 
     # -- client API ---------------------------------------------------------
-    def submit(self, img_bgr_u8: np.ndarray) -> "Future":
-        """Enqueue one image; returns a Future of (kps, scores)."""
+    def submit(self, img_bgr_u8: np.ndarray,
+               timeout: Optional[float] = None) -> "Future":
+        """Enqueue one image; returns a Future of (kps, scores). Blocks when
+        ``max_pending`` images are already queued (backpressure); a
+        ``timeout`` (seconds) raises queue.Full instead of waiting
+        indefinitely."""
         if self._closed:
             raise RuntimeError("server is closed")
         fut: "Future" = Future()
-        self._inq.put((img_bgr_u8, fut))
+        self._inq.put((img_bgr_u8, fut), timeout=timeout)
         return fut
+
+    def pending(self) -> int:
+        """Queued-but-not-yet-batched image count (bounded by max_pending)."""
+        return self._inq.qsize()
 
     def predict_many(self, imgs: List[np.ndarray]) -> List[Tuple[np.ndarray, np.ndarray]]:
         futs = [self.submit(im) for im in imgs]
@@ -71,33 +87,36 @@ class PipelinedServer:
     def _collect_batch(self):
         """Block for one item, then greedily take up to batch_size within
         flush_ms — keeps single-request latency bounded while letting
-        bursts fill whole batches."""
+        bursts fill whole batches. Returns (items, saw_shutdown); a worker
+        that consumes a shutdown sentinel exits after its current batch
+        (never re-queued: a re-put could deadlock against the bounded
+        queue once every peer has already exited)."""
         first = self._inq.get()
         if first is None:
-            return None
+            return [], True
         items = [first]
         while len(items) < self.batch_size:
             try:
                 nxt = self._inq.get(timeout=self.flush_ms / 1e3)
             except queue.Empty:
-                break
+                return items, False
             if nxt is None:
-                self._inq.put(None)   # propagate shutdown to peers
-                break
+                return items, True
             items.append(nxt)
-        return items
+        return items, False
 
     def _worker(self):
         while True:
-            items = self._collect_batch()
-            if items is None:
+            items, shutdown = self._collect_batch()
+            if items:
+                try:
+                    self._run_batch(items)
+                except Exception as e:  # pragma: no cover - defensive
+                    for _, fut in items:
+                        if not fut.done():
+                            fut.set_exception(e)
+            if shutdown:
                 return
-            try:
-                self._run_batch(items)
-            except Exception as e:  # pragma: no cover - defensive
-                for _, fut in items:
-                    if not fut.done():
-                        fut.set_exception(e)
 
     def _run_batch(self, items):
         boxed, scales, orig_hws = [], [], []
@@ -111,10 +130,17 @@ class PipelinedServer:
         n_real = len(boxed)
         while len(boxed) < self.batch_size:
             boxed.append(boxed[-1])
+        canvas_h = float(boxed[0].shape[0])
         img_hs = np.asarray([hw[0] * s for hw, s in zip(orig_hws, scales)]
-                            + [512.0] * (self.batch_size - n_real), np.float32)
+                            + [canvas_h] * (self.batch_size - n_real), np.float32)
+        # valid-content extent per image: the letterbox pad band beyond it is
+        # suppressed on device (Predictor.suppress_pad_peaks)
+        content_hws = np.asarray(
+            [[hw[0] * s, hw[1] * s] for hw, s in zip(orig_hws, scales)]
+            + [[canvas_h, canvas_h]] * (self.batch_size - n_real), np.float32)
         results = self.predictor.predict_batch(
-            np.stack(boxed), img_hs=img_hs, use_cpp=self.use_cpp)
+            np.stack(boxed), img_hs=img_hs, use_cpp=self.use_cpp,
+            content_hws=content_hws)
         for i, (_, fut) in enumerate(items):
             kps, scores = results[i]
             kps = np.array(kps, copy=True)

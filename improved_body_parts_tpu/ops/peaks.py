@@ -267,7 +267,8 @@ def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
                stride: int = 4, refine: str = "bicubic",
                footprint: str | None = None,
                cubic_a: float = CV2_CUBIC_A,
-               fused: bool | None = None) -> PeakTable:
+               fused: bool | None = None,
+               content_hw: jnp.ndarray | None = None) -> PeakTable:
     """Find up to ``max_peaks`` peaks per joint-type channel.
 
     heat: (H, W, K) stride-resolution keypoint heatmaps (K=18).
@@ -279,6 +280,15 @@ def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
     ``fused`` selects the single-pass Pallas kernel (NMS + top-k + patch
     extraction fused in VMEM, pallas_kernels.fused_peaks_pallas; bicubic
     refinement only). None = automatic: on for the TPU backend.
+
+    ``content_hw`` ((2,) float [h, w], traced) bounds the valid image
+    content in padded-image pixels: NMS cells whose pixel footprint starts
+    at/after the extent are zeroed BEFORE the top-k cut (so pad-region
+    responses never crowd out real peaks), and refined coordinates past the
+    extent are invalidated. This reproduces the reference ORIGINAL path's
+    unpad-before-peaks semantics (parse_skeletons.py:272-281) on the stride
+    map; the reference refactor path finds peaks on the full padded map
+    (evaluate.py:74-80) — pass None for that behaviour.
     Returns a PeakTable with refined coordinates in padded-image pixels.
     """
     h, w, k = heat.shape
@@ -290,7 +300,29 @@ def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
         # hardware each round (tools/profile_postproc.py --fused)
         fused = False
 
+    cell_ok = None
+    if content_hw is not None:
+        # a stride cell (cy, cx) covers pixels [c*stride, c*stride+stride-1];
+        # it contains content iff c*stride < extent
+        col_ok = jnp.arange(w, dtype=jnp.float32) * stride < content_hw[1]
+        row_ok = jnp.arange(h, dtype=jnp.float32) * stride < content_hw[0]
+        cell_ok = row_ok[:, None] & col_ok[None, :]        # (H, W)
+
+    def _mask_refined(xy, scores, valid):
+        if content_hw is None:
+            return scores, valid
+        inb = (xy[..., 0] < content_hw[1]) & (xy[..., 1] < content_hw[0])
+        return jnp.where(inb, scores, 0.0), valid & inb
+
     if fused and refine == "bicubic":
+        if cell_ok is not None:
+            # the fused kernel runs NMS internally, so the content mask is
+            # applied to the input map (zeros beyond the extent cannot pass
+            # the > thre test; boundary-cell NMS decisions then see 0 where
+            # the unfused path sees the raw pad response — peaks AT the
+            # content edge can differ from the unfused path in that rare
+            # case, matching the cropped-map semantics instead)
+            chan_first = jnp.where(cell_ok[None], chan_first, 0.0)
         from improved_body_parts_tpu.ops.pallas_kernels import (
             fused_peaks_pallas)
         interpret = jax.default_backend() != "tpu"
@@ -309,6 +341,7 @@ def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
         xs, ys, scores = jax.vmap(per_channel)(patches, cy, cx)
         xy = jnp.stack([xs, ys], axis=-1)
         scores = jnp.where(valid, scores, 0.0)
+        scores, valid = _mask_refined(xy, scores, valid)
         return PeakTable(xy=xy.astype(jnp.float32),
                          score=scores.astype(jnp.float32),
                          valid=valid, grid_yx=jnp.stack([cy, cx], axis=-1),
@@ -316,6 +349,8 @@ def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
 
     from improved_body_parts_tpu.ops.pallas_kernels import nms
     nmsed = nms(chan_first, thre, footprint=footprint)
+    if cell_ok is not None:
+        nmsed = jnp.where(cell_ok[None], nmsed, 0.0)
 
     flat = nmsed.reshape(k, h * w)
     n_raw = jnp.sum(flat > 0.0, axis=1).astype(jnp.int32)  # (K,) pre-top-k
@@ -333,6 +368,7 @@ def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
     xs, ys, scores = jax.vmap(per_channel)(chan_first, cy, cx)
     xy = jnp.stack([xs, ys], axis=-1)
     scores = jnp.where(valid, scores, 0.0)
+    scores, valid = _mask_refined(xy, scores, valid)
     return PeakTable(xy=xy.astype(jnp.float32), score=scores.astype(jnp.float32),
                      valid=valid, grid_yx=jnp.stack([cy, cx], axis=-1),
                      n_raw=n_raw)

@@ -129,6 +129,49 @@ def test_find_peaks_reports_topk_saturation():
     assert kept == set(cells[-8:])
 
 
+def test_find_peaks_suppresses_pad_region():
+    """Peaks in the bucket/letterbox pad band must be invalidated when the
+    content extent is passed, matching the reference original path's
+    unpad-before-peaks semantics (parse_skeletons.py:272-281); without it
+    they survive (the refactor path, evaluate.py:74-80)."""
+    H = W = 32                              # stride map of a 128x128 canvas
+    heat = np.zeros((H, W, NUM_PARTS), np.float32)
+    heat[:, :, 0] = gaussian_blob((H, W), 10.0, 10.0, sigma=1.5)   # content
+    heat[:, :, 0] = np.maximum(
+        heat[:, :, 0], gaussian_blob((H, W), 28.0, 5.0, sigma=1.5))  # pad x
+    heat[:, :, 3] = gaussian_blob((H, W), 5.0, 29.0, sigma=1.5)      # pad y
+    content = jnp.asarray([100.0, 100.0])   # content 100x100, pad band beyond
+    got = find_peaks(jnp.asarray(heat), thre=0.1, max_peaks=8, stride=4,
+                     content_hw=content)
+    valid, xy = np.asarray(got.valid), np.asarray(got.xy)
+    assert valid[0].sum() == 1              # only the content peak survives
+    assert xy[0, 0, 0] < 100.0 and xy[0, 0, 1] < 100.0
+    assert valid[3].sum() == 0              # fully-padded channel emptied
+    assert np.asarray(got.n_raw)[0] == 1    # pre-top-k count is post-mask
+    # without the extent both pad peaks are reported (refactor semantics)
+    ref = find_peaks(jnp.asarray(heat), thre=0.1, max_peaks=8, stride=4)
+    assert np.asarray(ref.valid)[0].sum() == 2
+    assert np.asarray(ref.valid)[3].sum() == 1
+
+
+def test_find_peaks_pad_suppression_protects_topk_budget():
+    """Pad responses must be masked BEFORE the top-k cut so they cannot
+    crowd real content peaks out of a saturated table."""
+    H = W = 32
+    heat = np.zeros((H, W, NUM_PARTS), np.float32)
+    # 8 strong pad peaks + 3 weaker content peaks, table of 8
+    for i, x in enumerate(range(26, 32)):
+        for y in (3, 14):
+            heat[y, x, 0] = 0.9
+    for i, (x, y) in enumerate([(3, 3), (10, 10), (17, 17)]):
+        heat[y, x, 0] = 0.3 + 0.01 * i
+    got = find_peaks(jnp.asarray(heat), thre=0.1, max_peaks=8, stride=4,
+                     content_hw=jnp.asarray([100.0, 100.0]))
+    valid = np.asarray(got.valid)
+    assert valid[0].sum() == 3
+    assert np.all(np.asarray(got.xy)[0][valid[0]] < 100.0)
+
+
 def test_bilinear_sample_matches_numpy():
     rng = np.random.RandomState(0)
     m = rng.rand(8, 10).astype(np.float32)

@@ -70,6 +70,49 @@ def test_tta_multiscale_and_rotation_runs(predictor):
     assert kps.shape[1:] == (18, 3)
 
 
+class _PlantedPeakModel:
+    """Stub model emitting fixed stride-4 maps with a nose-channel gaussian
+    at given stride cells — nose is flip-self-symmetric, and the planted
+    cells sit on the horizontal center so flip-averaging preserves them."""
+
+    def __init__(self, cells):
+        self.cells = cells   # list of (cy, cx) stride cells
+
+    def apply(self, variables, imgs, train=False):
+        from improved_body_parts_tpu.configs import NUM_LAYERS, PAF_LAYERS
+        B, H, W = imgs.shape[:3]
+        h4, w4 = H // 4, W // 4
+        out = np.zeros((h4, w4, NUM_LAYERS), np.float32)
+        yy, xx = np.mgrid[0:h4, 0:w4]
+        for cy, cx in self.cells:
+            out[..., PAF_LAYERS] = np.maximum(
+                out[..., PAF_LAYERS],
+                np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 1.5 ** 2)))
+        return [[jnp.broadcast_to(jnp.asarray(out), (B, h4, w4, NUM_LAYERS))]]
+
+
+def test_predictor_suppresses_pad_band_peaks():
+    """A peak planted in the bucket pad band (y > content) must be filtered
+    by the default predictor but kept in reference-refactor mode
+    (reference parse_skeletons.py:272-281 vs evaluate.py:74-80)."""
+    config = CanonicalConfig(width=128, height=128,
+                             model=ModelConfig(nstack=1, inp_dim=8, increase=4))
+    img = np.full((100, 100, 3), 60, np.uint8)   # pads to 128x128
+    # canvas 128 -> 32 stride cells; mirror of x-cell c is 31-c, so a blob
+    # straddling x=15.5 is flip-stable. y-cell 29 -> ~117 px, in the pad band.
+    cells = [(10, 15), (10, 16), (29, 15), (29, 16)]
+    model = _PlantedPeakModel(cells)
+    for suppress in (True, False):
+        pred = Predictor(model, {}, config, suppress_pad_peaks=suppress)
+        packed, _, _, (h, w) = pred.predict_maps(img)
+        peaks, _ = unpack_results(np.asarray(packed), config.infer.max_peaks)
+        nose = peaks.valid[0]
+        ys = peaks.xy[0][nose][:, 1]
+        n_pad = (ys >= 100.0).sum()
+        assert (n_pad == 0) if suppress else (n_pad >= 1), (suppress, ys)
+        assert (ys < 100.0).sum() >= 1           # content peak always kept
+
+
 def test_predict_batch(predictor):
     rng = np.random.RandomState(3)
     imgs = rng.randint(0, 255, (2, 128, 128, 3), np.uint8)

@@ -23,7 +23,7 @@ class _StubPredictor:
         out = np.zeros((size, size, 3), np.uint8)
         return out, scale
 
-    def predict_batch(self, imgs, img_hs=None, use_cpp=None):
+    def predict_batch(self, imgs, img_hs=None, use_cpp=None, content_hws=None):
         with self.lock:
             self.calls.append(len(imgs))
         out = []
@@ -60,3 +60,51 @@ def test_serving_close_rejects_new_work():
         raise AssertionError("expected RuntimeError after close")
     except RuntimeError:
         pass
+
+
+def test_backpressure_bounds_queue_under_sustained_overload():
+    """A producer faster than the device must BLOCK in submit rather than
+    grow the input queue: pending() never exceeds max_pending, everything
+    still completes, and the producer is measurably throttled."""
+    import time
+
+    class _SlowStub(_StubPredictor):
+        def predict_batch(self, imgs, img_hs=None, use_cpp=None,
+                          content_hws=None):
+            time.sleep(0.03)
+            return super().predict_batch(imgs, img_hs, use_cpp, content_hws)
+
+    pred = _SlowStub()
+    serve = PipelinedServer(pred, batch_size=2, depth=1, flush_ms=1.0,
+                            max_pending=4)
+    img = np.zeros((64, 64, 3), np.uint8)
+    futs, peak = [], 0
+    t0 = time.time()
+    for _ in range(40):
+        futs.append(serve.submit(img))
+        peak = max(peak, serve.pending())
+    submit_elapsed = time.time() - t0
+    results = [f.result(timeout=30) for f in futs]
+    serve.close()
+    assert len(results) == 40
+    assert peak <= 4, peak
+    # 40 images / bs2 * 30 ms = ~600 ms of device time; an unthrottled
+    # producer would finish instantly
+    assert submit_elapsed > 0.3, submit_elapsed
+
+
+def test_close_with_full_queue_does_not_deadlock():
+    import time
+
+    class _SlowStub(_StubPredictor):
+        def predict_batch(self, imgs, img_hs=None, use_cpp=None,
+                          content_hws=None):
+            time.sleep(0.02)
+            return super().predict_batch(imgs, img_hs, use_cpp, content_hws)
+
+    serve = PipelinedServer(_SlowStub(), batch_size=2, depth=2, flush_ms=1.0,
+                            max_pending=2)
+    img = np.zeros((32, 32, 3), np.uint8)
+    futs = [serve.submit(img) for _ in range(12)]
+    serve.close()            # must drain and join despite the tiny bound
+    assert all(f.done() for f in futs)
