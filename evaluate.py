@@ -64,6 +64,10 @@ def main():
                         help="COCO root (annotations/ + val2017/)")
     parser.add_argument("--subset", default="val2017", choices=["val2017", "test2017"])
     parser.add_argument("--image-dir", default="", help="plain image directory mode")
+    parser.add_argument("--gt-json", default="",
+                        help="COCO-format keypoint GT json to score against "
+                             "(with --image-dir; e.g. from "
+                             "tools/make_synthetic_coco.py)")
     parser.add_argument("--max-images", type=int, default=-1)
     parser.add_argument("--dump-name", default="tpu_imhn")
     parser.add_argument("--run_cpp", action="store_true")
@@ -73,7 +77,15 @@ def main():
     parser.add_argument("--letterbox", action="store_true",
                         help="fixed boxsize^2 letterbox (one XLA program for "
                              "all image sizes; slight AP trade for speed)")
+    parser.add_argument("--pipeline", type=int, default=0, metavar="DEPTH",
+                        help="with --letterbox: run the evaluation through "
+                             "PipelinedServer with DEPTH overlapping device "
+                             "dispatches (serving-rate throughput instead of "
+                             "single-image latency)")
+    parser.add_argument("--pipeline-batch", type=int, default=8)
     args = parser.parse_args()
+    if args.pipeline and (not args.letterbox or args.scale_search):
+        parser.error("--pipeline requires --letterbox and no --scale-search")
 
     import cv2
 
@@ -81,11 +93,22 @@ def main():
     predictor = build_predictor(args.checkpoint, args.config, "bicubic")
 
     # gather image list -------------------------------------------------
+    # gt_data: COCO-format dict scored by the in-repo OKS/AP evaluator
+    # (utils/oks_eval.py) when pycocotools is absent; coco_gt: pycocotools
+    # COCO object when it is importable (preferred, reference
+    # evaluate.py:274-280 behaviour)
     coco_gt = None
+    gt_data = None
     if args.image_dir:
         names = sorted(os.listdir(args.image_dir))
         images = [(i, os.path.join(args.image_dir, n)) for i, n in enumerate(names)
                   if n.lower().endswith((".jpg", ".jpeg", ".png"))]
+        if args.gt_json:
+            with open(args.gt_json) as f:
+                gt_data = json.load(f)
+            by_name = {im["file_name"]: im["id"] for im in gt_data["images"]}
+            images = [(by_name[os.path.basename(p)], p) for _, p in images
+                      if os.path.basename(p) in by_name]
     else:
         if args.subset == "val2017":
             ann_file = os.path.join(args.coco_dir, "annotations",
@@ -93,20 +116,29 @@ def main():
         else:
             ann_file = os.path.join(args.coco_dir, "annotations",
                                     "image_info_test-dev2017.json")
-        try:
-            from pycocotools.coco import COCO
-        except ImportError:
-            print("pycocotools not installed and no --image-dir given; "
-                  "install it or pass --image-dir", file=sys.stderr)
-            return 2
         if not os.path.exists(ann_file):
             print(f"annotations not found: {ann_file}", file=sys.stderr)
             return 2
-        coco_gt = COCO(ann_file)
-        cat_ids = coco_gt.getCatIds(catNms=["person"])
-        img_ids = coco_gt.getImgIds(catIds=cat_ids)
-        images = [(i, os.path.join(args.coco_dir, args.subset,
-                                   coco_gt.imgs[i]["file_name"]))
+        try:
+            from pycocotools.coco import COCO
+            coco_gt = COCO(ann_file)
+            cat_ids = coco_gt.getCatIds(catNms=["person"])
+            img_ids = coco_gt.getImgIds(catIds=cat_ids)
+            file_names = {i: coco_gt.imgs[i]["file_name"] for i in img_ids}
+        except ImportError:
+            # pycocotools-free path: read the annotation json directly and
+            # score with the vendored evaluator
+            with open(ann_file) as f:
+                gt_data = json.load(f)
+            person_ids = {c["id"] for c in gt_data.get("categories", [])
+                          if c.get("name") == "person"} or {1}
+            img_ids = sorted({a["image_id"]
+                              for a in gt_data.get("annotations", [])
+                              if a.get("category_id", 1) in person_ids}) or \
+                sorted(im["id"] for im in gt_data["images"])
+            file_names = {im["id"]: im["file_name"]
+                          for im in gt_data["images"]}
+        images = [(i, os.path.join(args.coco_dir, args.subset, file_names[i]))
                   for i in img_ids]
 
     if args.max_images > 0:
@@ -115,7 +147,31 @@ def main():
 
     meter = AverageMeter()
     all_outputs = []
-    for n, (image_id, path) in enumerate(images):
+    if args.pipeline:
+        # serving-rate evaluation: decode + submit with backpressure while
+        # DEPTH device dispatches stay in flight (the reference loop is
+        # strictly sequential, evaluate.py:262-267)
+        from improved_body_parts_tpu.infer.serving import PipelinedServer
+        serve = PipelinedServer(predictor, batch_size=args.pipeline_batch,
+                                depth=args.pipeline,
+                                use_cpp=True if args.run_cpp else None)
+        t0 = time.time()
+        futs = []
+        for image_id, path in images:
+            img = cv2.imread(path)
+            if img is None:
+                print(f"skip unreadable {path}")
+                continue
+            futs.append((image_id, serve.submit(img)))   # blocks when full
+        for n, (image_id, fut) in enumerate(futs):
+            kps, scores = fut.result()
+            append_result(image_id, kps, scores, all_outputs)
+        serve.close()
+        if futs:
+            meter.update((time.time() - t0) / len(futs), n=len(futs))
+        images = [(i, None) for i, _ in futs]    # scored image ids below
+    else:
+      for n, (image_id, path) in enumerate(images):
         img = cv2.imread(path)
         if img is None:
             print(f"skip unreadable {path}")
@@ -157,7 +213,12 @@ def main():
         ev.evaluate()
         ev.accumulate()
         ev.summarize()
-        return 0
+    elif gt_data is not None and all_outputs:
+        from improved_body_parts_tpu.utils.oks_eval import KeypointEval
+        stats = KeypointEval(gt_data, all_outputs,
+                             img_ids=[i for i, _ in images]).run()
+        print(f"AP={stats[0]:.4f} AP50={stats[1]:.4f} AP75={stats[2]:.4f} "
+              f"APM={stats[3]:.4f} APL={stats[4]:.4f} AR={stats[5]:.4f}")
     return 0
 
 
