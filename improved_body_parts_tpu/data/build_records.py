@@ -11,7 +11,8 @@ all other annotated people ride along in the same sample.
 Output hdf5 layout matches the reference exactly (groups ``dataset`` /
 ``images`` / ``masks``; JSON entry {image, joints, objpos, scale_provided}
 with the full meta in attrs) so files are interchangeable between the two
-code bases. Requires pycocotools.
+code bases. Uses pycocotools when installed; otherwise decodes polygon/RLE
+segmentations with the in-repo shim (data/coco_shim.py).
 
 Usage:
     python -m improved_body_parts_tpu.data.build_records \
@@ -149,7 +150,11 @@ def write_sample(data_grp, img_grp, mask_grp, inst, img, mask_miss, mask_all, co
 def build(coco_dir: str, out_dir: str, max_images: int = -1) -> None:
     import cv2
     import h5py
-    from pycocotools.coco import COCO
+    try:
+        from pycocotools.coco import COCO
+    except ImportError:
+        # dependency-free fallback: polygon + RLE decoding in numpy/cv2
+        from improved_body_parts_tpu.data.coco_shim import MiniCOCO as COCO
 
     specs = [
         ("person_keypoints_val2017.json", "val2017", "COCO_val"),
