@@ -83,6 +83,40 @@ def assemble_global_batch(mesh: Mesh, batch, shard_spatial: bool = False):
         batch)
 
 
+def staged_batches(mesh: Mesh, batches, depth: int = 2,
+                   shard_spatial: bool = False):
+    """Overlap host->device staging with device compute: a worker thread
+    runs ``assemble_global_batch`` (device_put) for batch N+1..N+depth
+    while step N executes, instead of blocking the step loop on the
+    transfer (the reference overlaps H2D with ``non_blocking=True`` copies,
+    train_distributed.py:256-258). Yields globally-sharded batches in
+    order; exceptions from the source iterator propagate to the consumer."""
+    import queue
+    import threading
+
+    out: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    SENTINEL = object()
+
+    def run():
+        try:
+            for host_batch in batches:
+                out.put(assemble_global_batch(mesh, host_batch,
+                                              shard_spatial))
+        except BaseException as e:   # noqa: BLE001 - re-raised consumer-side
+            out.put(e)
+            return
+        out.put(SENTINEL)
+
+    threading.Thread(target=run, daemon=True).start()
+    while True:
+        item = out.get()
+        if item is SENTINEL:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def process_batch_slice(global_batch: int) -> slice:
     """This process's slice of a globally-indexed batch — replaces the
     reference's ``DistributedSampler`` (train_distributed.py:209-211): each

@@ -148,3 +148,26 @@ def test_swa_accumulation(tiny_setup):
     swapped = train_lib.swa_swap(s1)
     np.testing.assert_allclose(np.asarray(jax.tree_util.tree_leaves(swapped.params)[0]),
                                np.asarray(avg), rtol=1e-6)
+
+
+def test_staged_batches_preserves_order_and_sharding():
+    """The double-buffered feed (mesh.staged_batches) must yield exactly the
+    assemble_global_batch results, in order, and propagate source errors."""
+    mesh = mesh_lib.make_mesh(8, spatial=1)
+    host = [(np.full((8, 4, 4, 3), i, np.float32),
+             np.full((8, 1, 1, 1), i, np.float32)) for i in range(5)]
+    got = list(mesh_lib.staged_batches(mesh, iter(host), depth=2))
+    assert len(got) == 5
+    for i, (imgs, masks) in enumerate(got):
+        assert imgs.sharding.spec == mesh_lib.batch_sharding(mesh).spec
+        assert float(np.asarray(imgs)[0, 0, 0, 0]) == i
+        assert float(np.asarray(masks)[0, 0, 0, 0]) == i
+
+    def boom():
+        yield host[0]
+        raise ValueError("source failed")
+
+    it = mesh_lib.staged_batches(mesh, boom())
+    next(it)
+    with pytest.raises(ValueError, match="source failed"):
+        next(it)

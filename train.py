@@ -171,18 +171,18 @@ def main():
         loss_accs, skip_accs = [], []
         swa_active = args.swa and epoch >= args.swa_start_epoch
         rank, world = jax.process_index(), jax.process_count()
-        for step, (imgs, masks, heats) in enumerate(
-                train_ds.batches(global_batch, steps, seed=epoch,
-                                 rank=rank, world=world)):
+        # device staging (assemble_global_batch) for batch N+1 overlaps
+        # step N on a worker thread (reference: non_blocking H2D copies,
+        # train_distributed.py:256-258)
+        for step, batch in enumerate(mesh_lib.staged_batches(
+                mesh, train_ds.batches(global_batch, steps, seed=epoch,
+                                       rank=rank, world=world))):
             if swa_active:
                 # cyclic LR while averaging (train_distributed_SWA.py:365-371)
                 lr = train_lib.cyclic_learning_rate(tcfg, epoch, args.swa_start_epoch)
             else:
                 lr = train_lib.learning_rate(tcfg, epoch, step, steps, n_dev,
                                              use_warmup=not args.no_warmup)
-            # each process contributes its local slice; jax stitches the
-            # global sharded batch (replaces DistributedSampler + DDP feed)
-            batch = mesh_lib.assemble_global_batch(mesh, (imgs, masks, heats))
             active_step = swa_step if (swa_active and swa_step) else train_step
             state, metrics = active_step(state, batch[0], batch[1], batch[2],
                                          jnp.float32(lr))
