@@ -188,9 +188,17 @@ class Predictor:
             content_hw = None
         paf = avg[..., :PAF_LAYERS]
         heat = avg[..., PAF_LAYERS:NUM_LAYERS]
+        # refine "bicubicN" (e.g. "bicubic8") = bicubic with an N-times
+        # upsample basis: sub-pixel peaks finer than the reference's
+        # stride-factor argmax grid
+        refine, refine_up = self.refine, None
+        if refine.startswith("bicubic") and refine != "bicubic":
+            refine_up = int(refine[len("bicubic"):])
+            refine = "bicubic"
         peaks = find_peaks(heat[..., :NUM_PARTS], thre=icfg.thre1,
                            max_peaks=icfg.max_peaks, stride=cfg.stride,
-                           refine=self.refine, content_hw=content_hw)
+                           refine=refine, content_hw=content_hw,
+                           refine_upsample=refine_up)
         cand = score_connections(
             paf, peaks.xy, peaks.score, peaks.valid, img_h,
             mid_num=icfg.mid_num, stride=cfg.stride,

@@ -183,7 +183,8 @@ def _border_case_index(c: jnp.ndarray, size: int, win: int) -> jnp.ndarray:
 
 
 def _refine_bicubic(map2d: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
-                    stride: int, cubic_a: float = CV2_CUBIC_A):
+                    stride: int, cubic_a: float = CV2_CUBIC_A,
+                    up: int | None = None):
     """Cropped-patch bicubic-upsample argmax refinement into image coords.
 
     Exact reproduction of the reference refinement
@@ -197,16 +198,25 @@ def _refine_bicubic(map2d: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
     h, w = map2d.shape
     patch, inb = _gather_patch(map2d, cy, cx, win)
     patch = jnp.where(inb, patch, 0.0)   # clipped cells have zero basis rows
-    return _refine_bicubic_from_patch(patch, cy, cx, h, w, stride, cubic_a)
+    return _refine_bicubic_from_patch(patch, cy, cx, h, w, stride, cubic_a,
+                                      up=up)
 
 
 def _refine_bicubic_from_patch(patch: jnp.ndarray, cy: jnp.ndarray,
                                cx: jnp.ndarray, h: int, w: int,
                                stride: int, cubic_a: float = CV2_CUBIC_A,
-                               win: int = 2):
+                               win: int = 2, up: int | None = None):
     """Same refinement given a pre-gathered (2*win+1)^2 patch whose
-    out-of-map cells are zero (the fused Pallas kernel's output)."""
-    up = stride
+    out-of-map cells are zero (the fused Pallas kernel's output).
+
+    ``up`` is the patch upsample factor. up == stride (default) reproduces
+    the reference exactly: the argmax lands on the image-resolution integer
+    grid, i.e. coordinates quantize to 1 px. A larger ``up`` (e.g.
+    2*stride) samples the same cv2-cubic surface on a finer grid, giving
+    sub-pixel peaks at the cost of a bigger (still tiny) basis matmul —
+    an accuracy knob the reference's host loop doesn't have."""
+    if up is None:
+        up = stride
     size = 2 * win + 1
     bases_np, valids_np = _border_case_bases(win, up, cubic_a)
     bases = jnp.asarray(bases_np)
@@ -224,12 +234,15 @@ def _refine_bicubic_from_patch(patch: jnp.ndarray, cy: jnp.ndarray,
     flat_idx = jnp.argmax(patch_up)
     uy, ux = flat_idx // upsz, flat_idx % upsz
     score = patch_up.reshape(-1)[flat_idx]
-    # patch offsets are relative to the clipped window origin
+    # patch offsets are relative to the clipped window origin, in up-grid
+    # units; scale them into image pixels by stride/up (== 1 for the
+    # reference-exact up == stride)
     y0 = jnp.maximum(cy - win, 0)
     x0 = jnp.maximum(cx - win, 0)
     center_up = resized_coords(jnp.stack([cy - y0, cx - x0]), up)
-    dyx = jnp.stack([uy, ux]).astype(jnp.float32) - center_up
-    base = resized_coords(jnp.stack([cy, cx]).astype(jnp.float32), up)
+    dyx = (jnp.stack([uy, ux]).astype(jnp.float32) - center_up) * \
+        (float(stride) / up)
+    base = resized_coords(jnp.stack([cy, cx]).astype(jnp.float32), stride)
     y_img = base[0] + dyx[0]
     x_img = base[1] + dyx[1]
     return x_img, y_img, score
@@ -262,13 +275,14 @@ def _refine_centroid(map2d: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("max_peaks", "stride", "refine",
                                              "thre", "footprint", "cubic_a",
-                                             "fused"))
+                                             "fused", "refine_upsample"))
 def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
                stride: int = 4, refine: str = "bicubic",
                footprint: str | None = None,
                cubic_a: float = CV2_CUBIC_A,
                fused: bool | None = None,
-               content_hw: jnp.ndarray | None = None) -> PeakTable:
+               content_hw: jnp.ndarray | None = None,
+               refine_upsample: int | None = None) -> PeakTable:
     """Find up to ``max_peaks`` peaks per joint-type channel.
 
     heat: (H, W, K) stride-resolution keypoint heatmaps (K=18).
@@ -280,6 +294,12 @@ def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
     ``fused`` selects the single-pass Pallas kernel (NMS + top-k + patch
     extraction fused in VMEM, pallas_kernels.fused_peaks_pallas; bicubic
     refinement only). None = automatic: on for the TPU backend.
+
+    ``refine_upsample`` (bicubic only) samples the refinement patch's cubic
+    surface on a finer grid than the reference's ``stride`` factor —
+    refine_upsample=8 with stride 4 gives half-pixel peak coordinates
+    instead of the reference's 1 px argmax quantization
+    (parse_skeletons.py:149-153 upsamples by exactly the stride).
 
     ``content_hw`` ((2,) float [h, w], traced) bounds the valid image
     content in padded-image pixels: NMS cells whose pixel footprint starts
@@ -335,7 +355,8 @@ def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
         def per_channel(patches_c, cys, cxs):
             return jax.vmap(
                 lambda p, y, x: _refine_bicubic_from_patch(
-                    p, y, x, h, w, stride, cubic_a=cubic_a))(
+                    p, y, x, h, w, stride, cubic_a=cubic_a,
+                    up=refine_upsample))(
                 patches_c, cys, cxs)
 
         xs, ys, scores = jax.vmap(per_channel)(patches, cy, cx)
@@ -359,11 +380,16 @@ def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
     cy = top_idx // w
     cx = top_idx % w
 
-    refine_fn = _refine_bicubic if refine == "bicubic" else _refine_centroid
+    if refine == "bicubic":
+        def refine_fn(map2d, y, x):
+            return _refine_bicubic(map2d, y, x, stride, cubic_a=cubic_a,
+                                   up=refine_upsample)
+    else:
+        def refine_fn(map2d, y, x):
+            return _refine_centroid(map2d, y, x, stride, cubic_a=cubic_a)
 
     def per_channel(map2d, cys, cxs):
-        return jax.vmap(lambda y, x: refine_fn(map2d, y, x, stride,
-                                               cubic_a=cubic_a))(cys, cxs)
+        return jax.vmap(lambda y, x: refine_fn(map2d, y, x))(cys, cxs)
 
     xs, ys, scores = jax.vmap(per_channel)(chan_first, cy, cx)
     xy = jnp.stack([xs, ys], axis=-1)

@@ -172,6 +172,43 @@ def test_find_peaks_pad_suppression_protects_topk_budget():
     assert np.all(np.asarray(got.xy)[0][valid[0]] < 100.0)
 
 
+def test_refine_upsample_matches_cv2_and_is_subpixel():
+    """refine_upsample=8 must equal the argmax of the cv2-INTER_CUBIC x8
+    patch upsample (scaled into image coords) and beat the reference x4
+    grid's localization of a sub-pixel gaussian."""
+    import cv2
+    H = W = 32
+    truth = {0: (10.3, 12.7), 5: (20.55, 8.2)}
+    heat = np.zeros((H, W, NUM_PARTS), np.float32)
+    for j, (gx, gy) in truth.items():
+        heat[:, :, j] = gaussian_blob((H, W), gx, gy, sigma=1.5)
+    p4 = find_peaks(jnp.asarray(heat), thre=0.1, max_peaks=4, stride=4)
+    p8 = find_peaks(jnp.asarray(heat), thre=0.1, max_peaks=4, stride=4,
+                    refine_upsample=8)
+    for j, (gx, gy) in truth.items():
+        # cv2 mirror: crop the 5x5 patch, x8 cubic upsample, argmax
+        cyx = np.asarray(p8.grid_yx)[j, 0]
+        cy, cx = int(cyx[0]), int(cyx[1])
+        y0, y1 = max(cy - 2, 0), min(cy + 2, H - 1)
+        x0, x1 = max(cx - 2, 0), min(cx + 2, W - 1)
+        patch = heat[y0:y1 + 1, x0:x1 + 1, j]
+        up = cv2.resize(patch, None, fx=8, fy=8,
+                        interpolation=cv2.INTER_CUBIC)
+        uy, ux = np.unravel_index(up.argmax(), up.shape)
+        center = ((np.array([cy - y0, cx - x0]) + 0.5) * 8 - 0.5)
+        want = ((np.array([cy, cx]) + 0.5) * 4 - 0.5) + \
+            (np.array([uy, ux]) - center) * 4 / 8
+        got = np.asarray(p8.xy)[j, 0][::-1]          # (x, y) -> (y, x)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        assert np.asarray(p8.score)[j, 0] == pytest.approx(float(up.max()),
+                                                           abs=1e-5)
+        # and the finer grid localizes the sub-pixel center at least as well
+        ex, ey = (gx + 0.5) * 4 - 0.5, (gy + 0.5) * 4 - 0.5
+        err4 = np.hypot(*(np.asarray(p4.xy)[j, 0] - [ex, ey]))
+        err8 = np.hypot(*(np.asarray(p8.xy)[j, 0] - [ex, ey]))
+        assert err8 <= err4 + 1e-6, (j, err4, err8)
+
+
 def test_bilinear_sample_matches_numpy():
     rng = np.random.RandomState(0)
     m = rng.rand(8, 10).astype(np.float32)
