@@ -77,6 +77,14 @@ def main():
     parser.add_argument("--letterbox", action="store_true",
                         help="fixed boxsize^2 letterbox (one XLA program for "
                              "all image sizes; slight AP trade for speed)")
+    parser.add_argument("--boxsize", type=int, default=0,
+                        help="override the model's boxsize (reference INI "
+                             "'boxsize', utils/config) — the letterbox canvas "
+                             "and scale normalization target. Match it to the "
+                             "checkpoint's training resolution: letterboxing "
+                             "small images onto a larger canvas UPSCALES them, "
+                             "which an off-scale model fragments into spurious "
+                             "detections")
     parser.add_argument("--pipeline", type=int, default=0, metavar="DEPTH",
                         help="with --letterbox: run the evaluation through "
                              "PipelinedServer with DEPTH overlapping device "
@@ -91,6 +99,12 @@ def main():
 
     from demo_image import build_predictor
     predictor = build_predictor(args.checkpoint, args.config, "bicubic")
+    if args.boxsize:
+        import dataclasses
+        predictor.config = dataclasses.replace(
+            predictor.config,
+            infer=dataclasses.replace(predictor.config.infer,
+                                      boxsize=args.boxsize))
 
     # gather image list -------------------------------------------------
     # gt_data: COCO-format dict scored by the in-repo OKS/AP evaluator
@@ -155,6 +169,11 @@ def main():
         serve = PipelinedServer(predictor, batch_size=args.pipeline_batch,
                                 depth=args.pipeline,
                                 use_cpp=True if args.run_cpp else None)
+        # compile the batch program before the clock starts (first XLA
+        # compile is minutes over the tunnel and would swamp the FPS meter)
+        size = predictor.config.infer.boxsize
+        warm = np.zeros((args.pipeline_batch, size, size, 3), np.uint8)
+        predictor.predict_batch(warm)
         t0 = time.time()
         futs = []
         for image_id, path in images:
@@ -186,7 +205,7 @@ def main():
             else:
                 # reference protocol (parse_skeletons.py:186): normalize by
                 # boxsize/img_h; quantize to 1/4 steps to bound XLA programs
-                boxsize = 512
+                boxsize = predictor.config.infer.boxsize
                 scales = tuple(sorted({
                     max(round(s * boxsize / img.shape[0] * 4) / 4, 0.25)
                     for s in args.scale_search}))

@@ -264,6 +264,27 @@ def save_train_state(ckpt_dir: str, state: dict, step: int, keep: int = 3) -> No
         mgr.save(step, args=ocp.args.StandardSave(state))
 
 
+def _restore_numpy(ckpt_dir: str, step: int) -> dict:
+    """Backend-agnostic raw restore: read every leaf as host numpy, ignoring
+    the sharding/device metadata saved with the checkpoint. This is what
+    makes a checkpoint written on TPU loadable on a CPU-only machine (and
+    vice versa) — orbax's default restore re-creates the saved
+    ``jax.sharding`` and fails when those devices don't exist."""
+    import jax.tree_util as jtu
+    import orbax.checkpoint as ocp
+    path = os.path.join(os.path.abspath(ckpt_dir), str(step), "default")
+    ck = ocp.PyTreeCheckpointer()
+    meta_tree = ck.metadata(path).item_metadata.tree
+    restore_args = jtu.tree_map(
+        lambda v: ocp.RestoreArgs(restore_type=np.ndarray)
+        if hasattr(v, "shape") else ocp.RestoreArgs(), meta_tree)
+    return ck.restore(path, restore_args=restore_args)
+
+
+def _is_device_mismatch(err: Exception) -> bool:
+    return "was not found in jax.local_devices" in str(err)
+
+
 def restore_train_state(ckpt_dir: str, step: int | None = None,
                         target: dict | None = None) -> dict:
     """Restore a train-state checkpoint.
@@ -285,11 +306,20 @@ def restore_train_state(ckpt_dir: str, step: int | None = None,
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
         if target is None:
-            return mgr.restore(step)
-        # learn the saved top-level key set from a raw (structure-less)
-        # restore; item_metadata() needs a handler registry this orbax
-        # version won't give us without extra setup
-        saved_keys = set(mgr.restore(step).keys())
+            try:
+                return mgr.restore(step)
+            except ValueError as e:
+                # saved on a different backend (e.g. TPU ckpt on a CPU box):
+                # re-read every leaf as host numpy instead
+                if not _is_device_mismatch(e):
+                    raise
+                return _restore_numpy(ckpt_dir, step)
+        # learn the saved top-level key set from the (data-free) metadata;
+        # a raw restore here would read the whole checkpoint a second time
+        # and fails cross-backend
+        ck = ocp.PyTreeCheckpointer()
+        meta = ck.metadata(os.path.join(ckpt_dir, str(step), "default"))
+        saved_keys = set(meta.item_metadata.tree.keys())
         template = {k: v for k, v in target.items() if k in saved_keys}
         restored = dict(mgr.restore(step, args=ocp.args.StandardRestore(template)))
         for k in target:

@@ -145,3 +145,24 @@ def test_orbax_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["params"]["layer"]["kernel"]),
                                   np.arange(6.0).reshape(2, 3))
     assert int(restored["epoch"]) == 7
+
+
+def test_numpy_fallback_restore(tmp_path):
+    """The backend-agnostic raw restore (used when a checkpoint written on
+    one backend is opened on another, e.g. TPU ckpt on a CPU box) returns
+    the same tree as the sharded restore, as host numpy."""
+    state = {
+        "params": {"layer": {"kernel": jnp.arange(6.0).reshape(2, 3)}},
+        "batch_stats": {"layer": {"mean": jnp.ones((3,))}},
+        "epoch": 7,
+    }
+    ckpt.save_train_state(str(tmp_path / "ckpt"), state, step=3)
+    raw = ckpt._restore_numpy(str(tmp_path / "ckpt"), 3)
+    assert isinstance(raw["params"]["layer"]["kernel"], np.ndarray)
+    np.testing.assert_array_equal(raw["params"]["layer"]["kernel"],
+                                  np.arange(6.0).reshape(2, 3))
+    np.testing.assert_array_equal(raw["batch_stats"]["layer"]["mean"],
+                                  np.ones((3,)))
+    assert int(raw["epoch"]) == 7
+    assert ckpt._is_device_mismatch(
+        ValueError("Device TPU v5 lite0 was not found in jax.local_devices()."))

@@ -108,3 +108,48 @@ def test_close_with_full_queue_does_not_deadlock():
     futs = [serve.submit(img) for _ in range(12)]
     serve.close()            # must drain and join despite the tiny bound
     assert all(f.done() for f in futs)
+
+
+def test_serving_equals_sequential_letterbox_real_model():
+    """The serving path (threaded, batched, vmapped program) must produce
+    EXACTLY the sequential ``predict_skeletons(fixed_size=True)`` results —
+    person counts, coordinates, and scores. Guards the evaluate.py
+    ``--pipeline`` mode: any divergence between the two paths is a code bug
+    (a measured non-bug divergence once looked exactly like this: letterbox
+    UPSCALING out-of-scale content fragments detections in BOTH paths
+    equally)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from improved_body_parts_tpu.configs import CanonicalConfig, ModelConfig
+    from improved_body_parts_tpu.infer.predict import Predictor
+    from improved_body_parts_tpu.models.imhn import create_model, init_model
+
+    config = CanonicalConfig(width=64, height=64,
+                             model=ModelConfig(nstack=1, inp_dim=24,
+                                               increase=8))
+    config = dataclasses.replace(
+        config, infer=dataclasses.replace(config.infer, boxsize=64, thre1=0.01,
+                                          thre2=0.01, min_person_score=0.0,
+                                          min_person_parts=1))
+    model = create_model(config.model, dtype=jnp.float32)
+    params, bs = init_model(model, jax.random.PRNGKey(2), 64, 64)
+    pred = Predictor(model, {"params": params, "batch_stats": bs}, config)
+
+    rng = np.random.RandomState(7)
+    imgs = [rng.randint(0, 255, (int(rng.randint(40, 90)),
+                                 int(rng.randint(40, 90)), 3), np.uint8)
+            for _ in range(5)]
+
+    seq = [pred.predict_skeletons(im, fixed_size=True)[:2] for im in imgs]
+
+    serve = PipelinedServer(pred, batch_size=3, depth=2, flush_ms=20.0)
+    pipe = serve.predict_many(imgs)
+    serve.close()
+
+    for (ks, ss), (kp, sp) in zip(seq, pipe):
+        assert len(ks) == len(kp)
+        np.testing.assert_allclose(ks, kp, atol=1e-4)
+        np.testing.assert_allclose(ss, sp, atol=1e-5)
