@@ -38,6 +38,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tes
 
 import numpy as np
 
+from improved_body_parts_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 BASELINE_E2E_FPS = 7.3
 BATCH = 8
 N_BATCHES = 12

@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from improved_body_parts_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def build_predictor(checkpoint: str, config_name: str, refine: str):
     import jax

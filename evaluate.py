@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from improved_body_parts_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 NUM_COCO_KEYPOINTS = 17
 
 
@@ -74,6 +78,13 @@ def main():
     parser.add_argument("--show_eval_speed", action="store_true")
     parser.add_argument("--scale-search", type=float, nargs="*", default=None,
                         help="multi-scale TTA factors (reference INI scale_search)")
+    parser.add_argument("--scale-quant", type=int, default=4,
+                        help="quantize per-image scale multipliers to 1/N "
+                             "steps to bound the XLA program count (default "
+                             "1/4). 0 = reference-exact per-image factors "
+                             "(parse_skeletons.py:186) — one compile per "
+                             "unique image height, amortized by the "
+                             "persistent compilation cache")
     parser.add_argument("--letterbox", action="store_true",
                         help="fixed boxsize^2 letterbox (one XLA program for "
                              "all image sizes; slight AP trade for speed)")
@@ -204,10 +215,13 @@ def main():
                 scales = tuple(args.scale_search)
             else:
                 # reference protocol (parse_skeletons.py:186): normalize by
-                # boxsize/img_h; quantize to 1/4 steps to bound XLA programs
+                # boxsize/img_h; quantize to 1/N steps to bound XLA programs
+                # (--scale-quant 0 keeps the exact per-image factors)
                 boxsize = predictor.config.infer.boxsize
+                q = args.scale_quant
                 scales = tuple(sorted({
-                    max(round(s * boxsize / img.shape[0] * 4) / 4, 0.25)
+                    max(round(s * boxsize / img.shape[0] * q) / q, 0.25)
+                    if q > 0 else s * boxsize / img.shape[0]
                     for s in args.scale_search}))
         kps, scores, _ = predictor.predict_skeletons(
             img, use_cpp=True if args.run_cpp else None,

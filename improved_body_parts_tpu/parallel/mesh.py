@@ -47,6 +47,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def chunked_batch_sharding(mesh: Mesh,
+                           shard_spatial: bool = False) -> NamedSharding:
+    """(K, B, H, W, C) stacked-chunk batch: the scan axis K is unsharded,
+    B shards on data (and optionally H on spatial)."""
+    spec = P(None, DATA_AXIS, SPATIAL_AXIS if shard_spatial else None)
+    return NamedSharding(mesh, spec)
+
+
 def shard_batch(mesh: Mesh, batch, shard_spatial: bool = False):
     """Device-put a pytree of host arrays with the batch axis sharded."""
     sh = batch_sharding(mesh, shard_spatial)
@@ -103,6 +111,56 @@ def staged_batches(mesh: Mesh, batches, depth: int = 2,
                 out.put(assemble_global_batch(mesh, host_batch,
                                               shard_spatial))
         except BaseException as e:   # noqa: BLE001 - re-raised consumer-side
+            out.put(e)
+            return
+        out.put(SENTINEL)
+
+    threading.Thread(target=run, daemon=True).start()
+    while True:
+        item = out.get()
+        if item is SENTINEL:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def assemble_chunk(mesh: Mesh, host_batches, shard_spatial: bool = False):
+    """Stack K PROCESS-LOCAL host batches into one (K, B, ...) device chunk
+    for the multi-step dispatch (train_lib.make_multi_train_step): the scan
+    axis stays unsharded, the batch axis shards on data as usual."""
+    sh = chunked_batch_sharding(mesh, shard_spatial)
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *host_batches)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, x), stacked)
+
+
+def staged_chunks(mesh: Mesh, batches, k: int, depth: int = 2,
+                  shard_spatial: bool = False):
+    """``staged_batches`` for the multi-step dispatch: groups the host batch
+    stream into chunks of ``k``, stages each chunk (stack + device_put) on a
+    worker thread while the previous multi-step dispatch runs, and yields
+    ``(n_steps, chunk)`` — a short final chunk keeps its true length so the
+    epoch step count is exact."""
+    import queue
+    import threading
+
+    out: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    SENTINEL = object()
+
+    def run():
+        try:
+            group = []
+            for host_batch in batches:
+                group.append(host_batch)
+                if len(group) == k:
+                    out.put((k, assemble_chunk(mesh, group, shard_spatial)))
+                    group = []
+            if group:
+                out.put((len(group),
+                         assemble_chunk(mesh, group, shard_spatial)))
+        except BaseException as e:  # noqa: BLE001 - re-raised consumer-side
             out.put(e)
             return
         out.put(SENTINEL)

@@ -85,16 +85,10 @@ def cyclic_learning_rate(cfg: TrainConfig, epoch: int, start_epoch: int) -> floa
     return cfg.swa_lr_max - (cfg.swa_lr_max - cfg.swa_lr_min) / (f - 1) * (e - e // f * f)
 
 
-def make_train_step(model, cfg: CanonicalConfig, use_focal: bool = True,
-                    donate: bool = True, freeze_bn: bool = False):
-    """Build the jitted train step: (state, imgs, mask, heat, lr) -> (state, metrics).
-
-    imgs: (B, H, W, 3); mask: (B, H/4, W/4, 1); heat: (B, H/4, W/4, 50).
-    ``freeze_bn`` runs BatchNorm in inference mode and keeps running stats
-    fixed — the reference freezes BN during SWA epochs via
-    ``model.apply(set_bn_eval)`` (train_distributed_SWA.py:221,
-    utils/util.py:216-225).
-    """
+def _build_step_fn(model, cfg: CanonicalConfig, use_focal: bool,
+                   freeze_bn: bool):
+    """The raw (untraced) train step shared by the single-step and the
+    multi-step (scan) dispatch wrappers."""
     tcfg = cfg.train
     tx = make_optimizer(tcfg)
 
@@ -138,8 +132,49 @@ def make_train_step(model, cfg: CanonicalConfig, use_focal: bool = True,
                    "skipped": (~ok).astype(jnp.float32)}
         return new_state, metrics
 
+    return step_fn
+
+
+def make_train_step(model, cfg: CanonicalConfig, use_focal: bool = True,
+                    donate: bool = True, freeze_bn: bool = False):
+    """Build the jitted train step: (state, imgs, mask, heat, lr) -> (state, metrics).
+
+    imgs: (B, H, W, 3); mask: (B, H/4, W/4, 1); heat: (B, H/4, W/4, 50).
+    ``freeze_bn`` runs BatchNorm in inference mode and keeps running stats
+    fixed — the reference freezes BN during SWA epochs via
+    ``model.apply(set_bn_eval)`` (train_distributed_SWA.py:221,
+    utils/util.py:216-225).
+    """
+    step_fn = _build_step_fn(model, cfg, use_focal, freeze_bn)
     donate_argnums = (0,) if donate else ()
     return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_multi_train_step(model, cfg: CanonicalConfig, use_focal: bool = True,
+                          donate: bool = True, freeze_bn: bool = False):
+    """K train steps per device dispatch, K set by the leading axis.
+
+    ``(state, imgs, mask, heat, lr) -> (state, metrics)`` where every batch
+    leaf carries a leading chunk axis — imgs ``(K, B, H, W, 3)``, lr ``(K,)``
+    — and one ``lax.scan`` runs the K optimizer steps inside a single XLA
+    program. Metrics come back stacked per inner step.
+
+    Rationale: over the axon tunnel each dispatch pays a fixed RPC cost that
+    scales with the ~600-buffer argument tree, dwarfing the ~100 ms of
+    compute at bs8 512² (NOTES round-2 honesty correction). Amortizing K
+    steps per dispatch divides that overhead by K. The reference has no
+    equivalent (torch eager dispatches per-op); this is the jit-native fix.
+    """
+    step_fn = _build_step_fn(model, cfg, use_focal, freeze_bn)
+
+    def multi_fn(state: TrainState, imgs, mask, heat, lr):
+        def body(st, xs):
+            im, mk, ht, l = xs
+            return step_fn(st, im, mk, ht, l)
+        return jax.lax.scan(body, state, (imgs, mask, heat, lr))
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(multi_fn, donate_argnums=donate_argnums)
 
 
 def make_eval_step(model, cfg: CanonicalConfig, use_focal: bool = True):

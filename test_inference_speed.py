@@ -18,6 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from improved_body_parts_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -30,6 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from improved_body_parts_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def write_crowd_h5(path: str, n_records: int, img_hw=(480, 640),
                    people_per_img=4, seed: int = 0):

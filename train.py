@@ -20,6 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from improved_body_parts_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def main():
     parser = argparse.ArgumentParser(description="PoseNet Training (TPU-native)")
@@ -47,6 +51,18 @@ def main():
                         help="disable the 3-epoch linear LR warmup")
     parser.add_argument("--workers", type=int, default=4,
                         help="host data-prefetch threads (0 = synchronous)")
+    parser.add_argument("--stage-depth", type=int, default=2,
+                        help="host->device staging lookahead: batches "
+                             "device_put on a worker thread while the "
+                             "previous step runs (0 = block in the step "
+                             "loop; reference overlaps H2D with "
+                             "non_blocking=True, train_distributed.py:256)")
+    parser.add_argument("--steps-per-dispatch", type=int, default=1,
+                        help="optimizer steps per device dispatch: K>1 "
+                             "lax.scans K steps inside one XLA call "
+                             "(train_lib.make_multi_train_step), dividing "
+                             "the per-dispatch RPC overhead — the dominant "
+                             "cost over the axon tunnel — by K")
     parser.add_argument("--max_grad_norm", type=float, default=0.0)
     parser.add_argument("--print-freq", type=int, default=20)
     parser.add_argument("--tiny-model", action="store_true",
@@ -153,12 +169,13 @@ def main():
         train_ds = PrefetchingLoader(train_ds, num_workers=args.workers)
 
     steps = args.steps_per_epoch or max(len(train_ds) // global_batch, 1)
-    train_step = train_lib.make_train_step(model, config,
-                                           use_focal=args.loss == "focal")
+    kd = max(args.steps_per_dispatch, 1)
+    make_step = (train_lib.make_multi_train_step if kd > 1
+                 else train_lib.make_train_step)
+    train_step = make_step(model, config, use_focal=args.loss == "focal")
     # SWA epochs run with frozen BatchNorm (train_distributed_SWA.py:221)
-    swa_step = (train_lib.make_train_step(model, config,
-                                          use_focal=args.loss == "focal",
-                                          freeze_bn=True)
+    swa_step = (make_step(model, config, use_focal=args.loss == "focal",
+                          freeze_bn=True)
                 if args.swa else None)
     eval_step = train_lib.make_eval_step(model, config,
                                          use_focal=args.loss == "focal")
@@ -174,26 +191,58 @@ def main():
         # device staging (assemble_global_batch) for batch N+1 overlaps
         # step N on a worker thread (reference: non_blocking H2D copies,
         # train_distributed.py:256-258)
-        for step, batch in enumerate(mesh_lib.staged_batches(
-                mesh, train_ds.batches(global_batch, steps, seed=epoch,
-                                       rank=rank, world=world))):
+        host_batches = train_ds.batches(global_batch, steps, seed=epoch,
+                                        rank=rank, world=world)
+
+        def step_lr(step):
             if swa_active:
                 # cyclic LR while averaging (train_distributed_SWA.py:365-371)
-                lr = train_lib.cyclic_learning_rate(tcfg, epoch, args.swa_start_epoch)
+                return train_lib.cyclic_learning_rate(tcfg, epoch,
+                                                      args.swa_start_epoch)
+            return train_lib.learning_rate(tcfg, epoch, step, steps, n_dev,
+                                           use_warmup=not args.no_warmup)
+
+        active_step = swa_step if (swa_active and swa_step) else train_step
+        if kd > 1:
+            # K optimizer steps per dispatch (lax.scan inside one XLA call);
+            # staging of chunk N+1 overlaps dispatch N on a worker thread
+            step = 0
+            for n_steps, chunk in mesh_lib.staged_chunks(
+                    mesh, host_batches, k=kd,
+                    depth=max(args.stage_depth, 1)):
+                lrs = np.asarray([step_lr(step + i) for i in range(n_steps)],
+                                 np.float32)
+                state, metrics = active_step(state, chunk[0], chunk[1],
+                                             chunk[2], jnp.asarray(lrs))
+                loss_accs.append(metrics["loss"])      # (n_steps,)
+                skip_accs.append(metrics["skipped"])
+                if (step // kd) % max(args.print_freq // kd, 1) == 0:
+                    loss = float(metrics["loss"][-1])  # sync per print only
+                    print(f"epoch {epoch} step {step + n_steps - 1}/{steps} "
+                          f"loss {loss:.4f} lr {lrs[-1]:.2e} "
+                          f"gnorm {float(metrics['grad_norm'][-1]):.2f}")
+                step += n_steps
+        else:
+            if args.stage_depth > 0:
+                feed = mesh_lib.staged_batches(mesh, host_batches,
+                                               depth=args.stage_depth)
             else:
-                lr = train_lib.learning_rate(tcfg, epoch, step, steps, n_dev,
-                                             use_warmup=not args.no_warmup)
-            active_step = swa_step if (swa_active and swa_step) else train_step
-            state, metrics = active_step(state, batch[0], batch[1], batch[2],
-                                         jnp.float32(lr))
-            loss_accs.append(metrics["loss"])
-            skip_accs.append(metrics["skipped"])
-            if step % args.print_freq == 0:
-                loss = float(metrics["loss"])  # sync only every print_freq
-                print(f"epoch {epoch} step {step}/{steps} loss {loss:.4f} "
-                      f"lr {lr:.2e} gnorm {float(metrics['grad_norm']):.2f}")
-        epoch_losses = np.asarray(jnp.stack(loss_accs))  # one fetch
-        skipped = int(np.asarray(jnp.stack(skip_accs)).sum())
+                feed = (mesh_lib.assemble_global_batch(mesh, b)
+                        for b in host_batches)
+            for step, batch in enumerate(feed):
+                lr = step_lr(step)
+                state, metrics = active_step(state, batch[0], batch[1],
+                                             batch[2], jnp.float32(lr))
+                loss_accs.append(metrics["loss"])
+                skip_accs.append(metrics["skipped"])
+                if step % args.print_freq == 0:
+                    loss = float(metrics["loss"])  # sync only every print_freq
+                    print(f"epoch {epoch} step {step}/{steps} loss {loss:.4f} "
+                          f"lr {lr:.2e} gnorm {float(metrics['grad_norm']):.2f}")
+        epoch_losses = np.asarray(jnp.concatenate(
+            [jnp.atleast_1d(x) for x in loss_accs]))  # one fetch
+        skipped = int(np.asarray(jnp.concatenate(
+            [jnp.atleast_1d(x) for x in skip_accs])).sum())
 
         # SWA snapshot at the LOW point of each cyclic-LR cycle
         # (train_distributed_SWA.py: '% swa_freq == swa_freq - 1')
