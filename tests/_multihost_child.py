@@ -32,6 +32,17 @@ def trace(msg):
 
 
 jax.config.update("jax_platforms", "cpu")
+
+# both ranks (and every rerun of this test) compile the SAME tiny programs;
+# the persistent cache turns the 2-process-contended compiles on this 1-core
+# box (~2 min each, cold) into sub-second reloads on every later run
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from improved_body_parts_tpu.utils.compile_cache import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
 jax.distributed.initialize(coordinator_address=coordinator,
                            num_processes=world, process_id=rank)
 assert jax.process_count() == world
@@ -73,12 +84,30 @@ mesh = mesh_lib.make_mesh()
 step_fn = train_lib.make_train_step(model, config, donate=False)
 
 ds = SyntheticDataset(config, length=64, image_size=64)
-losses = []
-for imgs, masks, heats in ds.batches(8, 2, seed=0, rank=rank, world=world):
+host_batches = list(ds.batches(8, 2, seed=0, rank=rank, world=world))
+batches = []
+for imgs, masks, heats in host_batches:
     assert imgs.shape[0] == 8 // world, imgs.shape  # noqa: S101
-    batch = mesh_lib.assemble_global_batch(mesh, (imgs, masks, heats))
-    state, metrics = step_fn(state, batch[0], batch[1], batch[2],
-                             jnp.float32(1e-2))
+    batches.append(mesh_lib.assemble_global_batch(mesh, (imgs, masks, heats)))
+
+# AOT-compile the step (rank-local work, no comm), THEN rendezvous at a
+# coordination-service barrier before the first collective executes: the
+# gloo context init inside step 1 has a hard 30 s KV-store timeout, and the
+# persistent compile cache can make one rank reach it minutes before the
+# other (contended 1-core compiles vs instant cache reloads)
+compiled_step = step_fn.lower(state, batches[0][0], batches[0][1],
+                              batches[0][2], jnp.float32(1e-2)).compile()
+trace("step compiled")
+from jax._src import distributed  # noqa: E402
+
+distributed.global_state.client.wait_at_barrier(
+    "ibp_step_ready", timeout_in_ms=900_000)
+trace("barrier passed")
+
+losses = []
+for batch in batches:
+    state, metrics = compiled_step(state, batch[0], batch[1], batch[2],
+                                   jnp.float32(1e-2))
     losses.append(float(metrics["loss"]))
     trace(f"step done loss={losses[-1]}")
 

@@ -84,7 +84,10 @@ def test_two_process_training_matches_single_process(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for r in range(2)]
     try:
-        logs = [p.communicate(timeout=540)[0].decode() for p in procs]
+        # cold-cache: two ranks compile concurrently on this 1-core box
+        # (~9 min); warm runs finish in ~1 min via the persistent compile
+        # cache the child enables
+        logs = [p.communicate(timeout=1200)[0].decode() for p in procs]
     finally:
         # SIGKILL, not terminate: jax.distributed's preemption notifier
         # swallows SIGTERM, which would leak CPU-burning children forever
