@@ -227,13 +227,39 @@ class CocoH5Dataset:
         heat = self.heatmapper.create_heatmaps(joints, mask_all)
         return img, mask_miss[..., None], heat
 
+    def get_compact(self, idx: int, rng: Optional[np.random.RandomState] = None,
+                    max_people: int = 8):
+        """Compact sample for device-side GT rendering (image bf16,
+        mask_miss bf16, (joints (P,18,3) f32, mask_all (h,w) bf16)): the
+        augmentation affine runs on the host as usual, but the dense
+        heatmaps are rasterized inside the jitted train step
+        (data/heatmaps_device.py), so ~26 MB/step of GT upload disappears.
+        The warped mask_all is downsampled to stride resolution with
+        INTER_AREA, same as the dense path's heatmapper input."""
+        import ml_dtypes
+
+        from improved_body_parts_tpu.data.heatmaps_device import pad_people
+        img, mask_miss, mask_all, meta = self.read_raw(idx)
+        joints = convert_coco_joints(np.asarray(meta["joints"]))
+        rng = rng or np.random.RandomState(self.seed * 100003 + idx)
+        aug = None if self.augment else AugmentSelection.identity()
+        img, mask_miss, mask_all, joints = self.transformer.transform(
+            img, mask_miss, mask_all, joints,
+            tuple(meta["objpos"][0]), float(meta["scale_provided"][0]),
+            aug=aug, rng=rng)
+        bf16 = ml_dtypes.bfloat16
+        return (img.astype(bf16), mask_miss[..., None].astype(bf16),
+                (pad_people(joints, max_people), mask_all.astype(bf16)))
+
     def batches(self, batch_size: int, steps: int, seed: int = 0,
-                rank: int = 0, world: int = 1,
+                rank: int = 0, world: int = 1, compact: bool = False,
+                max_people: int = 8,
                 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """``batch_size`` is GLOBAL; with world > 1 every process draws the
         same index/augmentation plan from ``seed`` and loads only its
         contiguous 1/world slice (DistributedSampler pattern,
-        train_distributed.py:209-211)."""
+        train_distributed.py:209-211). With ``compact`` the GT slot holds
+        (joints, mask_all) for device-side rasterization."""
         rng = np.random.RandomState(seed)
         per = batch_size // world
         assert per * world == batch_size, (batch_size, world)
@@ -243,8 +269,17 @@ class CocoH5Dataset:
             # lockstep, then load only ours
             seeds = [rng.randint(2 ** 31) for _ in range(batch_size)]
             lo = rank * per
-            samples = [self.__getitem__(i, np.random.RandomState(s))
-                       for i, s in zip(idxs[lo:lo + per], seeds[lo:lo + per])]
-            yield (np.stack([s[0] for s in samples]),
-                   np.stack([s[1] for s in samples]),
-                   np.stack([s[2] for s in samples]))
+            pairs = list(zip(idxs[lo:lo + per], seeds[lo:lo + per]))
+            if compact:
+                samples = [self.get_compact(i, np.random.RandomState(s),
+                                            max_people) for i, s in pairs]
+                yield (np.stack([s[0] for s in samples]),
+                       np.stack([s[1] for s in samples]),
+                       (np.stack([s[2][0] for s in samples]),
+                        np.stack([s[2][1] for s in samples])))
+            else:
+                samples = [self.__getitem__(i, np.random.RandomState(s))
+                           for i, s in pairs]
+                yield (np.stack([s[0] for s in samples]),
+                       np.stack([s[1] for s in samples]),
+                       np.stack([s[2] for s in samples]))

@@ -46,7 +46,8 @@ class PrefetchingLoader:
         return len(self.dataset)
 
     def batches(self, batch_size: int, steps: int, seed: int = 0,
-                rank: int = 0, world: int = 1,
+                rank: int = 0, world: int = 1, compact: bool = False,
+                max_people: int = 8,
                 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """``batch_size`` is GLOBAL; the full index/seed plan is drawn on
         every process and only this rank's contiguous slice is fetched
@@ -80,6 +81,13 @@ class PrefetchingLoader:
             release(s)
 
         def fetch(step, slot, i):
+            if compact:
+                # compact wire format for device-side GT rasterization
+                # (data/heatmaps_device.py): (img bf16, mask bf16,
+                # (joints, mask_all))
+                rng = (np.random.RandomState(item_seeds[step * batch_size + slot])
+                       if self._rng_ok else None)
+                return self.dataset.get_compact(i, rng, max_people=max_people)
             if self._rng_ok:
                 s = item_seeds[step * batch_size + slot]
                 return self.dataset.__getitem__(i, np.random.RandomState(s))
@@ -129,8 +137,14 @@ class PrefetchingLoader:
                         pending.setdefault(s_step, []).append((slot, s))
                 if step + window < steps:
                     release(step + window)
-                yield (np.stack([b[0] for b in buf]),
-                       np.stack([b[1] for b in buf]),
-                       np.stack([b[2] for b in buf]))
+                if compact:
+                    yield (np.stack([b[0] for b in buf]),
+                           np.stack([b[1] for b in buf]),
+                           (np.stack([b[2][0] for b in buf]),
+                            np.stack([b[2][1] for b in buf])))
+                else:
+                    yield (np.stack([b[0] for b in buf]),
+                           np.stack([b[1] for b in buf]),
+                           np.stack([b[2] for b in buf]))
         finally:
             stop.set()

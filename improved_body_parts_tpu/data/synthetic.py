@@ -100,21 +100,50 @@ class SyntheticDataset:
         mask = np.ones((self.hm.h, self.hm.w, 1), np.float32)
         return img, mask, heat
 
+    def get_compact(self, idx: int, rng=None, max_people: int = 8):
+        # rng accepted for API uniformity with CocoH5Dataset.get_compact;
+        # synthetic samples are deterministic-by-index
+        """Compact sample for device-side GT rendering: (image bf16,
+        mask_miss bf16, (joints (P,18,3) f32, mask_all (h,w) bf16)).
+        ~8× less host->device payload than the dense form; the heatmaps
+        are rasterized inside the jitted step (data/heatmaps_device.py)."""
+        import ml_dtypes
+
+        from improved_body_parts_tpu.data.heatmaps_device import pad_people
+        rng = np.random.RandomState(self.seed * 100003 + idx)
+        H = W = self.size
+        joints = random_people(rng, H, W)
+        img = render_image(joints, H, W, rng)
+        bf16 = ml_dtypes.bfloat16
+        mask = np.ones((self.hm.h, self.hm.w, 1), bf16)
+        mask_all = np.ones((self.hm.h, self.hm.w), bf16)
+        return (img.astype(bf16), mask,
+                (pad_people(joints, max_people), mask_all))
+
     def batches(self, batch_size: int, steps: int, seed: int = 0,
-                rank: int = 0, world: int = 1,
+                rank: int = 0, world: int = 1, compact: bool = False,
+                max_people: int = 8,
                 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """``batch_size`` is GLOBAL; with world > 1 every process draws the
         same index plan from ``seed`` and loads only its contiguous
         1/world slice (the reference DistributedSampler pattern,
-        train_distributed.py:209-211)."""
+        train_distributed.py:209-211). With ``compact`` the GT slot holds
+        (joints, mask_all) instead of dense heatmaps."""
         rng = np.random.RandomState(seed)
         per = batch_size // world
         assert per * world == batch_size, (batch_size, world)
         for _ in range(steps):
             idxs = rng.randint(0, self.length, batch_size)
             idxs = idxs[rank * per:(rank + 1) * per]
-            samples = [self[i] for i in idxs]
-            imgs = np.stack([s[0] for s in samples])
-            masks = np.stack([s[1] for s in samples])
-            heats = np.stack([s[2] for s in samples])
-            yield imgs, masks, heats
+            if compact:
+                samples = [self.get_compact(i, max_people=max_people)
+                           for i in idxs]
+                yield (np.stack([s[0] for s in samples]),
+                       np.stack([s[1] for s in samples]),
+                       (np.stack([s[2][0] for s in samples]),
+                        np.stack([s[2][1] for s in samples])))
+            else:
+                samples = [self[i] for i in idxs]
+                yield (np.stack([s[0] for s in samples]),
+                       np.stack([s[1] for s in samples]),
+                       np.stack([s[2] for s in samples]))

@@ -86,13 +86,29 @@ def cyclic_learning_rate(cfg: TrainConfig, epoch: int, start_epoch: int) -> floa
 
 
 def _build_step_fn(model, cfg: CanonicalConfig, use_focal: bool,
-                   freeze_bn: bool):
+                   freeze_bn: bool, compact_gt: bool = False):
     """The raw (untraced) train step shared by the single-step and the
-    multi-step (scan) dispatch wrappers."""
+    multi-step (scan) dispatch wrappers.
+
+    With ``compact_gt`` the dense GT never crosses the host->device wire:
+    the ``heat`` argument is the compact pair ``(joints (B,P,18,3),
+    mask_all (B,h,w))`` and the gaussian rasterization runs in-graph
+    (data/heatmaps_device.py) — at bs8 512² this removes ~26 MB of fp32
+    upload per step, the dominant cost over a network-attached chip.
+    Images may arrive in any dtype (bf16 halves their payload too; the
+    model casts to its compute dtype in the first conv either way).
+    """
     tcfg = cfg.train
     tx = make_optimizer(tcfg)
+    renderer = None
+    if compact_gt:
+        from improved_body_parts_tpu.data.heatmaps_device import DeviceHeatmapper
+        renderer = DeviceHeatmapper(cfg)
 
     def loss_fn(params, batch_stats, imgs, heat, mask):
+        if compact_gt:
+            joints, mask_all = heat
+            heat = jax.vmap(renderer.render)(joints, mask_all)
         if freeze_bn:
             outs = model.apply({"params": params, "batch_stats": batch_stats},
                                imgs, train=False)
@@ -136,22 +152,26 @@ def _build_step_fn(model, cfg: CanonicalConfig, use_focal: bool,
 
 
 def make_train_step(model, cfg: CanonicalConfig, use_focal: bool = True,
-                    donate: bool = True, freeze_bn: bool = False):
+                    donate: bool = True, freeze_bn: bool = False,
+                    compact_gt: bool = False):
     """Build the jitted train step: (state, imgs, mask, heat, lr) -> (state, metrics).
 
-    imgs: (B, H, W, 3); mask: (B, H/4, W/4, 1); heat: (B, H/4, W/4, 50).
+    imgs: (B, H, W, 3); mask: (B, H/4, W/4, 1); heat: (B, H/4, W/4, 50) —
+    or, with ``compact_gt``, the pair (joints (B,P,18,3), mask_all (B,h,w))
+    rasterized on device (see _build_step_fn).
     ``freeze_bn`` runs BatchNorm in inference mode and keeps running stats
     fixed — the reference freezes BN during SWA epochs via
     ``model.apply(set_bn_eval)`` (train_distributed_SWA.py:221,
     utils/util.py:216-225).
     """
-    step_fn = _build_step_fn(model, cfg, use_focal, freeze_bn)
+    step_fn = _build_step_fn(model, cfg, use_focal, freeze_bn, compact_gt)
     donate_argnums = (0,) if donate else ()
     return jax.jit(step_fn, donate_argnums=donate_argnums)
 
 
 def make_multi_train_step(model, cfg: CanonicalConfig, use_focal: bool = True,
-                          donate: bool = True, freeze_bn: bool = False):
+                          donate: bool = True, freeze_bn: bool = False,
+                          compact_gt: bool = False):
     """K train steps per device dispatch, K set by the leading axis.
 
     ``(state, imgs, mask, heat, lr) -> (state, metrics)`` where every batch
@@ -165,7 +185,7 @@ def make_multi_train_step(model, cfg: CanonicalConfig, use_focal: bool = True,
     steps per dispatch divides that overhead by K. The reference has no
     equivalent (torch eager dispatches per-op); this is the jit-native fix.
     """
-    step_fn = _build_step_fn(model, cfg, use_focal, freeze_bn)
+    step_fn = _build_step_fn(model, cfg, use_focal, freeze_bn, compact_gt)
 
     def multi_fn(state: TrainState, imgs, mask, heat, lr):
         def body(st, xs):

@@ -50,6 +50,11 @@ def main():
                     help="timed optimizer steps per configuration")
     ap.add_argument("--configs", default="1:0,1:2,4:2,8:2",
                     help="comma list of k:depth pairs")
+    ap.add_argument("--compact", action="store_true",
+                    help="compact GT feed: bf16 images + (joints, mask_all) "
+                         "over the wire, gaussians rasterized in-graph "
+                         "(data/heatmaps_device.py) — ~4x less payload; "
+                         "k>1 configs are skipped (payload-bound regime)")
     ap.add_argument("--tiny-model", action="store_true")
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--cpu", action="store_true",
@@ -94,7 +99,9 @@ def main():
     # a small pool of REAL pre-built host batches, cycled (sample synthesis
     # excluded from the measurement; H2D + dispatch + compute included)
     ds = SyntheticDataset(config, length=64, image_size=size)
-    pool = list(ds.batches(global_batch, 4, seed=0))
+    pool = list(ds.batches(global_batch, 4, seed=0, compact=args.compact))
+    nbytes = sum(a.nbytes for a in jax.tree_util.tree_leaves(pool[0]))
+    print(f"payload/step: {nbytes / 1e6:.1f} MB", file=sys.stderr)
 
     def cycled(n):
         return itertools.islice(itertools.cycle(pool), n)
@@ -102,10 +109,12 @@ def main():
     results = []
     for spec in args.configs.split(","):
         k, depth = (int(x) for x in spec.split(":"))
+        if args.compact and k > 1:
+            continue
         steps = (args.steps + k - 1) // k * k  # avoid short-tail recompiles
         make = (train_lib.make_multi_train_step if k > 1
                 else train_lib.make_train_step)
-        step_fn = make(model, config, use_focal=True)
+        step_fn = make(model, config, use_focal=True, compact_gt=args.compact)
         state = jax.tree_util.tree_map(jnp.asarray, host_state)
 
         def run(n_steps, st):

@@ -63,6 +63,16 @@ def main():
                              "(train_lib.make_multi_train_step), dividing "
                              "the per-dispatch RPC overhead — the dominant "
                              "cost over the axon tunnel — by K")
+    parser.add_argument("--feed", choices=["dense", "compact"], default="dense",
+                        help="host->device GT format: 'dense' ships the "
+                             "(B,h,w,50) fp32 heatmaps; 'compact' ships bf16 "
+                             "images + (joints, mask_all) and rasterizes the "
+                             "gaussians inside the jitted step "
+                             "(data/heatmaps_device.py) — ~4x less payload "
+                             "per step, the dominant cost over a "
+                             "network-attached chip")
+    parser.add_argument("--max-people", type=int, default=8,
+                        help="people-slot padding for --feed compact")
     parser.add_argument("--max_grad_norm", type=float, default=0.0)
     parser.add_argument("--print-freq", type=int, default=20)
     parser.add_argument("--tiny-model", action="store_true",
@@ -170,12 +180,18 @@ def main():
 
     steps = args.steps_per_epoch or max(len(train_ds) // global_batch, 1)
     kd = max(args.steps_per_dispatch, 1)
+    compact = args.feed == "compact"
+    # the in-graph GT rasterizer (--feed compact) sizes its stride grid from
+    # the config; keep it in lockstep with --image-size like the datasets do
+    step_config = dataclasses.replace(config, width=image_size,
+                                      height=image_size)
     make_step = (train_lib.make_multi_train_step if kd > 1
                  else train_lib.make_train_step)
-    train_step = make_step(model, config, use_focal=args.loss == "focal")
+    train_step = make_step(model, step_config, use_focal=args.loss == "focal",
+                           compact_gt=compact)
     # SWA epochs run with frozen BatchNorm (train_distributed_SWA.py:221)
-    swa_step = (make_step(model, config, use_focal=args.loss == "focal",
-                          freeze_bn=True)
+    swa_step = (make_step(model, step_config, use_focal=args.loss == "focal",
+                          freeze_bn=True, compact_gt=compact)
                 if args.swa else None)
     eval_step = train_lib.make_eval_step(model, config,
                                          use_focal=args.loss == "focal")
@@ -192,7 +208,9 @@ def main():
         # step N on a worker thread (reference: non_blocking H2D copies,
         # train_distributed.py:256-258)
         host_batches = train_ds.batches(global_batch, steps, seed=epoch,
-                                        rank=rank, world=world)
+                                        rank=rank, world=world,
+                                        compact=compact,
+                                        max_people=args.max_people)
 
         def step_lr(step):
             if swa_active:
