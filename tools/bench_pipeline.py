@@ -90,6 +90,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--workers", type=int, nargs="+", default=[1, 2, 4, 6])
     ap.add_argument("--h5", type=str, default="/tmp/bench_pipeline_512.h5")
+    ap.add_argument("--compact", action="store_true",
+                    help="compact samples for --feed compact: the host skips "
+                         "GT rasterization entirely (heatmaps render "
+                         "in-graph, data/heatmaps_device.py)")
     args = ap.parse_args()
 
     from improved_body_parts_tpu.configs import CanonicalConfig
@@ -110,7 +114,11 @@ def main():
     lat = []
     for i in range(8):
         t0 = time.perf_counter()
-        ds.__getitem__(i % len(ds), np.random.RandomState(rng.randint(2**31)))
+        r = np.random.RandomState(rng.randint(2**31))
+        if args.compact:
+            ds.get_compact(i % len(ds), r)
+        else:
+            ds.__getitem__(i % len(ds), r)
         lat.append(time.perf_counter() - t0)
     lat_ms = float(np.median(lat) * 1e3)
     sys.stderr.write(f"single-sample latency {lat_ms:.1f} ms "
@@ -119,7 +127,8 @@ def main():
     results = {"single_sample_ms": round(lat_ms, 1)}
     for w in args.workers:
         loader = PrefetchingLoader(ds, num_workers=w)
-        it = loader.batches(args.batch, args.steps, seed=1)
+        it = loader.batches(args.batch, args.steps, seed=1,
+                            compact=args.compact)
         next(it)  # exclude ramp-up of the first batch
         t0 = time.perf_counter()
         n = 0
