@@ -228,14 +228,16 @@ class CocoH5Dataset:
         return img, mask_miss[..., None], heat
 
     def get_compact(self, idx: int, rng: Optional[np.random.RandomState] = None,
-                    max_people: int = 8):
+                    max_people: int = 8, image_u8: bool = False):
         """Compact sample for device-side GT rendering (image bf16,
         mask_miss bf16, (joints (P,18,3) f32, mask_all (h,w) bf16)): the
         augmentation affine runs on the host as usual, but the dense
         heatmaps are rasterized inside the jitted train step
         (data/heatmaps_device.py), so ~26 MB/step of GT upload disappears.
         The warped mask_all is downsampled to stride resolution with
-        INTER_AREA, same as the dense path's heatmapper input."""
+        INTER_AREA, same as the dense path's heatmapper input.
+        ``image_u8`` ships the image as uint8 (half the bf16 bytes; the step
+        normalizes in-graph, quantization ≤1/510 ≈ bf16 rounding)."""
         import ml_dtypes
 
         from improved_body_parts_tpu.data.heatmaps_device import pad_people
@@ -248,12 +250,14 @@ class CocoH5Dataset:
             tuple(meta["objpos"][0]), float(meta["scale_provided"][0]),
             aug=aug, rng=rng)
         bf16 = ml_dtypes.bfloat16
-        return (img.astype(bf16), mask_miss[..., None].astype(bf16),
+        img = (np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+               if image_u8 else img.astype(bf16))
+        return (img, mask_miss[..., None].astype(bf16),
                 (pad_people(joints, max_people), mask_all.astype(bf16)))
 
     def batches(self, batch_size: int, steps: int, seed: int = 0,
                 rank: int = 0, world: int = 1, compact: bool = False,
-                max_people: int = 8,
+                max_people: int = 8, image_u8: bool = False,
                 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """``batch_size`` is GLOBAL; with world > 1 every process draws the
         same index/augmentation plan from ``seed`` and loads only its
@@ -272,7 +276,8 @@ class CocoH5Dataset:
             pairs = list(zip(idxs[lo:lo + per], seeds[lo:lo + per]))
             if compact:
                 samples = [self.get_compact(i, np.random.RandomState(s),
-                                            max_people) for i, s in pairs]
+                                            max_people, image_u8=image_u8)
+                           for i, s in pairs]
                 yield (np.stack([s[0] for s in samples]),
                        np.stack([s[1] for s in samples]),
                        (np.stack([s[2][0] for s in samples]),

@@ -47,7 +47,7 @@ class PrefetchingLoader:
 
     def batches(self, batch_size: int, steps: int, seed: int = 0,
                 rank: int = 0, world: int = 1, compact: bool = False,
-                max_people: int = 8,
+                max_people: int = 8, image_u8: bool = False,
                 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """``batch_size`` is GLOBAL; the full index/seed plan is drawn on
         every process and only this rank's contiguous slice is fetched
@@ -87,7 +87,8 @@ class PrefetchingLoader:
                 # (joints, mask_all))
                 rng = (np.random.RandomState(item_seeds[step * batch_size + slot])
                        if self._rng_ok else None)
-                return self.dataset.get_compact(i, rng, max_people=max_people)
+                return self.dataset.get_compact(i, rng, max_people=max_people,
+                                                image_u8=image_u8)
             if self._rng_ok:
                 s = item_seeds[step * batch_size + slot]
                 return self.dataset.__getitem__(i, np.random.RandomState(s))

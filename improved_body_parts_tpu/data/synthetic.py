@@ -100,13 +100,17 @@ class SyntheticDataset:
         mask = np.ones((self.hm.h, self.hm.w, 1), np.float32)
         return img, mask, heat
 
-    def get_compact(self, idx: int, rng=None, max_people: int = 8):
+    def get_compact(self, idx: int, rng=None, max_people: int = 8,
+                    image_u8: bool = False):
         # rng accepted for API uniformity with CocoH5Dataset.get_compact;
         # synthetic samples are deterministic-by-index
         """Compact sample for device-side GT rendering: (image bf16,
         mask_miss bf16, (joints (P,18,3) f32, mask_all (h,w) bf16)).
         ~8× less host->device payload than the dense form; the heatmaps
-        are rasterized inside the jitted step (data/heatmaps_device.py)."""
+        are rasterized inside the jitted step (data/heatmaps_device.py).
+        ``image_u8`` ships the image as uint8 instead (half the bf16 bytes;
+        the jitted step normalizes in-graph — quantization ≤1/510 per pixel,
+        the same order as bf16 rounding)."""
         import ml_dtypes
 
         from improved_body_parts_tpu.data.heatmaps_device import pad_people
@@ -117,12 +121,13 @@ class SyntheticDataset:
         bf16 = ml_dtypes.bfloat16
         mask = np.ones((self.hm.h, self.hm.w, 1), bf16)
         mask_all = np.ones((self.hm.h, self.hm.w), bf16)
-        return (img.astype(bf16), mask,
-                (pad_people(joints, max_people), mask_all))
+        img = (np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+               if image_u8 else img.astype(bf16))
+        return (img, mask, (pad_people(joints, max_people), mask_all))
 
     def batches(self, batch_size: int, steps: int, seed: int = 0,
                 rank: int = 0, world: int = 1, compact: bool = False,
-                max_people: int = 8,
+                max_people: int = 8, image_u8: bool = False,
                 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """``batch_size`` is GLOBAL; with world > 1 every process draws the
         same index plan from ``seed`` and loads only its contiguous
@@ -136,7 +141,8 @@ class SyntheticDataset:
             idxs = rng.randint(0, self.length, batch_size)
             idxs = idxs[rank * per:(rank + 1) * per]
             if compact:
-                samples = [self.get_compact(i, max_people=max_people)
+                samples = [self.get_compact(i, max_people=max_people,
+                                            image_u8=image_u8)
                            for i in idxs]
                 yield (np.stack([s[0] for s in samples]),
                        np.stack([s[1] for s in samples]),

@@ -106,6 +106,11 @@ def _build_step_fn(model, cfg: CanonicalConfig, use_focal: bool,
         renderer = DeviceHeatmapper(cfg)
 
     def loss_fn(params, batch_stats, imgs, heat, mask):
+        if imgs.dtype == jnp.uint8:
+            # uint8 wire format (--feed compact-u8): normalize in-graph.
+            # f32 intermediate so the only deviation from the fp32 host feed
+            # is the ≤1/510 quantization (the model casts to bf16 either way)
+            imgs = imgs.astype(jnp.float32) / 255.0
         if compact_gt:
             joints, mask_all = heat
             heat = jax.vmap(renderer.render)(joints, mask_all)

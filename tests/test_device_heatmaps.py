@@ -120,6 +120,49 @@ def test_compact_step_optimizes_the_same_objective():
     assert max(jax.tree_util.tree_leaves(deltas)) < 1e-5
 
 
+def test_u8_feed_matches_fp32_feed_within_quantization():
+    """The uint8 wire format (--feed compact-u8) must optimize the same
+    objective as the fp32/bf16 feed up to the ≤1/510 image quantization:
+    same-step losses agree to ~1e-3 relative, and the wire image round-trips
+    to within 1/510 of the fp32 original."""
+    config = CanonicalConfig(
+        width=64, height=64,
+        model=ModelConfig(nstack=2, inp_dim=32, increase=16),
+        train=dataclasses.replace(TrainConfig(), swa=False))
+    from improved_body_parts_tpu.models.imhn import create_model, init_model
+    model = create_model(config.model, dtype=jnp.float32)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), 64, 64)
+
+    rng = np.random.RandomState(5)
+    B, P = 2, 6
+    imgs = rng.rand(B, 64, 64, 3).astype(np.float32)
+    imgs_u8 = np.clip(np.rint(imgs * 255.0), 0, 255).astype(np.uint8)
+    assert np.abs(imgs_u8.astype(np.float32) / 255.0 - imgs).max() <= 1 / 509.0
+    mask = np.ones((B, 16, 16, 1), np.float32)
+    joints = np.stack([pad_people(_scene(rng, 64, 2), P) for _ in range(B)])
+    mask_all = np.ones((B, 16, 16), np.float32)
+
+    def fresh_state():
+        return train_lib.create_train_state(params, batch_stats, config.train)
+
+    step = train_lib.make_train_step(model, config, donate=False,
+                                     compact_gt=True)
+    _, m_f32 = step(fresh_state(), imgs, mask, (joints, mask_all),
+                    jnp.float32(1e-2))
+    _, m_u8 = step(fresh_state(), imgs_u8, mask, (joints, mask_all),
+                   jnp.float32(1e-2))
+    assert float(m_u8["loss"]) == pytest.approx(float(m_f32["loss"]), rel=2e-3)
+
+    # dataset wire format: uint8 images, same GT tuple as the bf16 path
+    ds = SyntheticDataset(config, length=8, image_size=64)
+    (img_b, _, gt_b), = list(ds.batches(2, 1, seed=3, compact=True,
+                                        image_u8=True))
+    assert img_b.dtype == np.uint8
+    (img_f, _, _), = list(ds.batches(2, 1, seed=3, compact=True))
+    assert np.abs(img_b.astype(np.float32) / 255.0 -
+                  img_f.astype(np.float32)).max() < 4e-3  # quant + bf16
+
+
 def test_synthetic_compact_batches_feed_a_jitted_step():
     """End-to-end smoke: SyntheticDataset(compact=True) -> compact train
     step (bf16 images over the wire), loss finite and decreasing-ish."""

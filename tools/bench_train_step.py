@@ -55,6 +55,9 @@ def main():
                          "over the wire, gaussians rasterized in-graph "
                          "(data/heatmaps_device.py) — ~4x less payload; "
                          "k>1 configs are skipped (payload-bound regime)")
+    ap.add_argument("--image-u8", action="store_true",
+                    help="with --compact: ship images as uint8 (halves the "
+                         "remaining payload; in-graph normalize)")
     ap.add_argument("--tiny-model", action="store_true")
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--cpu", action="store_true",
@@ -99,7 +102,8 @@ def main():
     # a small pool of REAL pre-built host batches, cycled (sample synthesis
     # excluded from the measurement; H2D + dispatch + compute included)
     ds = SyntheticDataset(config, length=64, image_size=size)
-    pool = list(ds.batches(global_batch, 4, seed=0, compact=args.compact))
+    pool = list(ds.batches(global_batch, 4, seed=0, compact=args.compact,
+                           image_u8=args.image_u8))
     nbytes = sum(a.nbytes for a in jax.tree_util.tree_leaves(pool[0]))
     print(f"payload/step: {nbytes / 1e6:.1f} MB", file=sys.stderr)
 

@@ -63,14 +63,18 @@ def main():
                              "(train_lib.make_multi_train_step), dividing "
                              "the per-dispatch RPC overhead — the dominant "
                              "cost over the axon tunnel — by K")
-    parser.add_argument("--feed", choices=["dense", "compact"], default="dense",
+    parser.add_argument("--feed", choices=["dense", "compact", "compact-u8"],
+                        default="dense",
                         help="host->device GT format: 'dense' ships the "
                              "(B,h,w,50) fp32 heatmaps; 'compact' ships bf16 "
                              "images + (joints, mask_all) and rasterizes the "
                              "gaussians inside the jitted step "
                              "(data/heatmaps_device.py) — ~4x less payload "
                              "per step, the dominant cost over a "
-                             "network-attached chip")
+                             "network-attached chip; 'compact-u8' further "
+                             "ships the images as uint8 (half the remaining "
+                             "bytes; in-graph normalize, quantization ≤1/510 "
+                             "≈ bf16 rounding)")
     parser.add_argument("--max-people", type=int, default=8,
                         help="people-slot padding for --feed compact")
     parser.add_argument("--max_grad_norm", type=float, default=0.0)
@@ -180,7 +184,8 @@ def main():
 
     steps = args.steps_per_epoch or max(len(train_ds) // global_batch, 1)
     kd = max(args.steps_per_dispatch, 1)
-    compact = args.feed == "compact"
+    compact = args.feed.startswith("compact")
+    image_u8 = args.feed == "compact-u8"
     # the in-graph GT rasterizer (--feed compact) sizes its stride grid from
     # the config; keep it in lockstep with --image-size like the datasets do
     step_config = dataclasses.replace(config, width=image_size,
@@ -209,7 +214,7 @@ def main():
         # train_distributed.py:256-258)
         host_batches = train_ds.batches(global_batch, steps, seed=epoch,
                                         rank=rank, world=world,
-                                        compact=compact,
+                                        compact=compact, image_u8=image_u8,
                                         max_people=args.max_people)
 
         def step_lr(step):
