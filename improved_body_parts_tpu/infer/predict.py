@@ -282,17 +282,42 @@ class Predictor:
         self._compiled[key] = run
         return run
 
-    def _device_fn_batch(self, batch: int, h: int, w: int):
-        key = ("batch", batch, h, w)
+    def _device_fn_batch(self, batch: int, h: int, w: int, mesh=None):
+        """Batched device program; with ``mesh`` the batch axis is sharded
+        over the mesh's data axis (serving scale-out: each chip forwards and
+        post-processes its batch slice, no cross-chip collectives needed —
+        the reference's only multi-GPU inference is torch DataParallel
+        scatter/gather, train.py:91)."""
+        mesh_key = (None if mesh is None
+                    else tuple(d.id for d in mesh.devices.flat))
+        key = ("batch", batch, h, w, mesh_key)
         if key not in self._compiled:
-            @jax.jit
             def run(variables, imgs_u8, img_hs, content_hws):
                 imgs = imgs_u8.astype(jnp.float32) / 255.0
                 avgs = self._flip_avg_maps(variables, imgs)
                 packed, _, _ = jax.vmap(self._postprocess)(avgs, img_hs,
                                                            content_hws)
                 return packed
-            self._compiled[key] = run
+            if mesh is None:
+                self._compiled[key] = jax.jit(run)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec
+                from improved_body_parts_tpu.parallel.mesh import DATA_AXIS
+                data = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+                repl = NamedSharding(mesh, PartitionSpec())
+                self._compiled[key] = jax.jit(
+                    run, in_shardings=(repl, data, data, data),
+                    out_shardings=data)
+        return self._compiled[key]
+
+    def _mesh_variables(self, mesh):
+        """Variables replicated over the mesh (cached per device set)."""
+        key = ("vars", tuple(d.id for d in mesh.devices.flat))
+        if key not in self._compiled:
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = NamedSharding(mesh, PartitionSpec())
+            self._compiled[key] = jax.tree_util.tree_map(
+                lambda x: jax.device_put(np.asarray(x), repl), self.variables)
         return self._compiled[key]
 
     # -- host API ------------------------------------------------------------
@@ -414,19 +439,38 @@ class Predictor:
 
     def predict_batch(self, imgs: np.ndarray, img_hs: Optional[np.ndarray] = None,
                       use_cpp: Optional[bool] = None,
-                      content_hws: Optional[np.ndarray] = None):
+                      content_hws: Optional[np.ndarray] = None,
+                      mesh=None):
         """Batched path: (B, H, W, 3) uint8, same shape, already letterboxed.
         ``content_hws`` (B, 2) [h, w] per-image valid-content extents (the
         letterbox pad band beyond them is suppressed); default: full canvas.
+        With ``mesh`` the batch is sharded over the mesh's data axis — each
+        chip runs forward + device postproc on its slice (embarrassingly
+        parallel serving scale-out; batch is padded up to a multiple of the
+        device count by repeating the last frame, pad results dropped).
         Returns a list of (keypoints, scores) per image."""
         B, h, w = imgs.shape[:3]
         if img_hs is None:
             img_hs = np.full((B,), h, np.float32)
         if content_hws is None:
             content_hws = np.tile(np.float32([h, w]), (B, 1))
-        fn = self._device_fn_batch(B, h, w)
-        packed = fn(self.variables, jnp.asarray(imgs), jnp.asarray(img_hs),
-                    jnp.asarray(content_hws, jnp.float32))
+        img_hs = np.asarray(img_hs, np.float32)
+        content_hws = np.asarray(content_hws, np.float32)
+        Bp = B
+        if mesh is not None:
+            from improved_body_parts_tpu.parallel.mesh import DATA_AXIS
+            nd = int(mesh.shape[DATA_AXIS])
+            Bp = -(-B // nd) * nd
+            if Bp != B:
+                reps = [1] * (B - 1) + [Bp - B + 1]
+                imgs = np.repeat(imgs, reps, axis=0)
+                img_hs = np.repeat(img_hs, reps, axis=0)
+                content_hws = np.repeat(content_hws, reps, axis=0)
+        fn = self._device_fn_batch(Bp, h, w, mesh=mesh)
+        variables = (self.variables if mesh is None
+                     else self._mesh_variables(mesh))
+        packed = fn(variables, jnp.asarray(imgs), jnp.asarray(img_hs),
+                    jnp.asarray(content_hws))
         bufs = np.asarray(packed)             # one fetch for the whole batch
         out = []
         P = self.config.infer.max_peaks

@@ -36,11 +36,15 @@ class PipelinedServer:
 
     def __init__(self, predictor, batch_size: int = 8, depth: int = 4,
                  flush_ms: float = 5.0, use_cpp: Optional[bool] = None,
-                 max_pending: Optional[int] = None):
+                 max_pending: Optional[int] = None, mesh=None):
         self.predictor = predictor
         self.batch_size = batch_size
         self.flush_ms = flush_ms
         self.use_cpp = use_cpp
+        # optional serving scale-out: shard each batch over the mesh's data
+        # axis (Predictor.predict_batch(mesh=...)) — every chip forwards and
+        # post-processes its slice, no cross-chip collectives
+        self.mesh = mesh
         # bounded input queue: a producer faster than the device BLOCKS in
         # submit() instead of accumulating decoded frames in host RAM.
         # Default bound: enough to keep every in-flight batch full plus one
@@ -138,9 +142,10 @@ class PipelinedServer:
         content_hws = np.asarray(
             [[hw[0] * s, hw[1] * s] for hw, s in zip(orig_hws, scales)]
             + [[canvas_h, canvas_h]] * (self.batch_size - n_real), np.float32)
+        kw = {} if self.mesh is None else {"mesh": self.mesh}
         results = self.predictor.predict_batch(
             np.stack(boxed), img_hs=img_hs, use_cpp=self.use_cpp,
-            content_hws=content_hws)
+            content_hws=content_hws, **kw)
         for i, (_, fut) in enumerate(items):
             kps, scores = results[i]
             kps = np.array(kps, copy=True)

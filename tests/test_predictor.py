@@ -113,6 +113,42 @@ def test_predictor_suppresses_pad_band_peaks():
         assert (ys < 100.0).sum() >= 1           # content peak always kept
 
 
+def test_predict_batch_sharded_matches_unsharded():
+    """Mesh-sharded serving scale-out: predict_batch(mesh=...) shards the
+    batch over the data axis and must reproduce the unsharded results
+    exactly — including when the batch (3) is not divisible by the data
+    axis (8) and gets padded with repeats of the last frame."""
+    from improved_body_parts_tpu.parallel.mesh import make_mesh
+
+    config = CanonicalConfig(width=128, height=128,
+                             model=ModelConfig(nstack=1, inp_dim=8, increase=4))
+    cells = [(10, 15), (10, 16), (20, 15), (20, 16)]
+    pred = Predictor(_PlantedPeakModel(cells), {}, config)
+    mesh = make_mesh()
+    P = config.infer.max_peaks
+    rng = np.random.RandomState(4)
+
+    # packed-buffer parity on a divisible batch (8 over 8 devices)
+    imgs8 = rng.randint(0, 255, (8, 128, 128, 3), np.uint8)
+    hs = np.full((8,), 128.0, np.float32)
+    chw = np.tile(np.float32([128, 128]), (8, 1))
+    base = np.asarray(pred._device_fn_batch(8, 128, 128)(
+        pred.variables, jnp.asarray(imgs8), jnp.asarray(hs), jnp.asarray(chw)))
+    shard = np.asarray(pred._device_fn_batch(8, 128, 128, mesh=mesh)(
+        pred._mesh_variables(mesh), jnp.asarray(imgs8), jnp.asarray(hs),
+        jnp.asarray(chw)))
+    assert unpack_results(base[0], P)[0].valid.any()   # non-trivial compare
+    np.testing.assert_allclose(shard, base, rtol=1e-5, atol=1e-6)
+
+    # host API pads a non-divisible batch (3 -> 8) and trims the results
+    out_b = pred.predict_batch(imgs8[:3])
+    out_s = pred.predict_batch(imgs8[:3], mesh=mesh)
+    assert len(out_s) == len(out_b) == 3
+    for (kb, sb), (ks, ss) in zip(out_b, out_s):
+        np.testing.assert_allclose(ks, kb, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(ss, sb, rtol=1e-5, atol=1e-5)
+
+
 def test_predict_batch(predictor):
     rng = np.random.RandomState(3)
     imgs = rng.randint(0, 255, (2, 128, 128, 3), np.uint8)
