@@ -1,0 +1,228 @@
+"""Device-resident dataset feed: the training data lives in HBM, nothing
+dense ever crosses the host->device wire per step.
+
+Why this exists: the training feed over a network-attached TPU is PAYLOAD
+bound (NOTES round-3 feed A/Bs: dense 52 MB/step -> 20.1 s/step, compact-u8
+6.9 MB/step -> 2.28 s/step at bs8 512²). The irreducible remainder of the
+compact-u8 feed is the images themselves. This module removes it: the whole
+(fixed-canvas) dataset is uploaded to HBM ONCE as uint8, and each train step
+receives only a scene description measured in KILOBYTES — sample indices,
+one 2x3 inverse-affine per sample, and the (host-warped) joints. The jitted
+step gathers the images from the resident store, applies the augmentation
+warp on device (ops/warp.affine_warp — the VPU does the bilinear gather for
+free next to 7 TFLOP of conv), decimates the warped masks to stride
+resolution (exact 4x4 box mean == cv2 INTER_AREA for integer decimation),
+and rasterizes the GT gaussians in-graph (data/heatmaps_device.py).
+
+The reference's pipeline does all of this on the host per step — cv2
+warpAffine + heatmap rasterization in DataLoader workers
+(py_data_transformer.py:91-183, py_data_heatmapper.py:10-357) shipping dense
+tensors to the GPU (train_distributed.py:256-258). The TPU-native inversion
+ships the dataset once and the randomness per step.
+
+Augmentation parity: the SAME AugmentSelection sampler drives both paths, so
+the geometric augmentation distribution is identical to the host pipeline;
+the two deviations are (a) float bilinear vs cv2's 5-bit fixed-point
+INTER_LINEAR (≤1/32 per pixel, bounded by tests/test_resident.py) and
+(b) HSV tint is skipped (a stored image cannot be re-tinted without
+re-uploading; geometric aug only — documented).
+
+Memory: a 512-record synthetic epoch at 512² is ~0.4 GB of uint8 in HBM
+(16 GB on v5e). Datasets beyond HBM shard record-ranges across the mesh's
+data axis at pod scale (each chip samples its local shard — the
+DistributedSampler pattern with the dataset itself distributed); this module
+replicates the store and documents the sharded variant.
+"""
+
+from __future__ import annotations
+
+import random as _pyrandom
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from improved_body_parts_tpu.configs import (
+    LEFT_PARTS, RIGHT_PARTS, CanonicalConfig,
+)
+from improved_body_parts_tpu.data.heatmaps_device import pad_people
+from improved_body_parts_tpu.data.pipeline import AugmentSelection
+
+_IDENTITY_M = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+
+
+def _invert_affine(m23: np.ndarray) -> np.ndarray:
+    """2x3 forward affine -> 2x3 inverse map (output->input coords)."""
+    m = np.eye(3, dtype=np.float64)
+    m[:2] = m23
+    return np.linalg.inv(m)[:2].astype(np.float32)
+
+
+class ResidentStore:
+    """The HBM-resident arrays + the host-side per-record metadata needed
+    to sample augmentations (objpos / scale_provided / joints)."""
+
+    def __init__(self, images_u8: np.ndarray,
+                 mask_miss_u8: Optional[np.ndarray],
+                 mask_all_u8: Optional[np.ndarray],
+                 joints_list, objpos, scale_provided):
+        self.images = images_u8              # (N, H0, W0, 3) uint8
+        self.mask_miss = mask_miss_u8        # (N, H0, W0) uint8 | None (=255)
+        self.mask_all = mask_all_u8          # (N, H0, W0) uint8 | None (=255)
+        self.joints = joints_list            # list of (p_i, 18, 3) float32
+        self.objpos = objpos                 # (N, 2) float32
+        self.scale_provided = scale_provided  # (N,) float32
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def device_arrays(self, sharding=None) -> dict:
+        """Upload the dense arrays ONCE. With ``sharding`` (e.g. replicated
+        over a mesh) the store is placed accordingly; default: the default
+        device. Returns the dict the resident train step takes as its
+        ``store`` argument."""
+        import jax
+        put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
+            else jax.device_put
+        out = {"images": put(self.images)}
+        if self.mask_miss is not None:
+            out["mask_miss"] = put(self.mask_miss)
+        if self.mask_all is not None:
+            out["mask_all"] = put(self.mask_all)
+        return out
+
+
+def build_store(dataset, canvas_hw: Optional[Tuple[int, int]] = None,
+                indices: Optional[np.ndarray] = None) -> ResidentStore:
+    """Assemble a fixed-canvas store from a dataset exposing either
+    ``read_raw(idx) -> (img, mask_miss, mask_all, meta)`` (CocoH5Dataset —
+    variable-size records are padded bottom/right to the canvas with the
+    augmentation border colors, oversize records are INTER_AREA-downscaled
+    with joints/objpos/scale scaled along) or synthetic-style
+    ``resident_raw(idx) -> (img_u8, joints)`` (fixed-size, mask-free)."""
+    n = len(indices) if indices is not None else len(dataset)
+    idxs = indices if indices is not None else np.arange(n)
+
+    if hasattr(dataset, "resident_raw"):
+        imgs, joints = [], []
+        for i in idxs:
+            im, j = dataset.resident_raw(int(i))
+            imgs.append(im)
+            joints.append(np.asarray(j, np.float32))
+        images = np.stack(imgs)
+        # augmentation anchors: first person's centroid; scale_provided =
+        # person height / canvas height (so target_dist scaling normalizes
+        # the main person like the reference's bbox-derived scale)
+        H0 = images.shape[1]
+        objpos, scale = [], []
+        for j in joints:
+            p0 = j[0]
+            vis = p0[:, 2] < 2
+            pts = p0[vis][:, :2] if vis.any() else p0[:, :2]
+            objpos.append(pts.mean(0))
+            scale.append(max(float(pts[:, 1].max() - pts[:, 1].min()) / H0,
+                             0.1))
+        return ResidentStore(images, None, None, joints,
+                             np.asarray(objpos, np.float32),
+                             np.asarray(scale, np.float32))
+
+    import cv2
+
+    from improved_body_parts_tpu.configs import convert_coco_joints
+    records = [dataset.read_raw(int(i)) for i in idxs]
+    if canvas_hw is None:
+        canvas_hw = (max(r[0].shape[0] for r in records),
+                     max(r[0].shape[1] for r in records))
+    H0, W0 = canvas_hw
+    images = np.empty((n, H0, W0, 3), np.uint8)
+    images[:] = (124, 127, 127)              # the aug border color
+    mask_miss = np.full((n, H0, W0), 255, np.uint8)
+    mask_all = np.zeros((n, H0, W0), np.uint8)
+    joints_list, objpos, scale_provided = [], [], []
+    for k, (img, mm, ma, meta) in enumerate(records):
+        joints = convert_coco_joints(np.asarray(meta["joints"]))
+        op = np.asarray(meta["objpos"][0], np.float64)
+        sp = float(meta["scale_provided"][0])
+        h, w = img.shape[:2]
+        if h > H0 or w > W0:
+            s = min(H0 / h, W0 / w)
+            nh, nw = int(h * s), int(w * s)
+            img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_AREA)
+            mm = cv2.resize(mm, (nw, nh), interpolation=cv2.INTER_AREA)
+            ma = cv2.resize(ma, (nw, nh), interpolation=cv2.INTER_AREA)
+            joints = joints.copy()
+            joints[:, :, :2] *= s
+            op, sp = op * s, sp * s
+            h, w = nh, nw
+        images[k, :h, :w] = img
+        mask_miss[k, :h, :w] = mm
+        mask_all[k, :h, :w] = ma
+        joints_list.append(joints.astype(np.float32))
+        objpos.append(op)
+        scale_provided.append(sp)
+    return ResidentStore(images, mask_miss, mask_all, joints_list,
+                         np.asarray(objpos, np.float32),
+                         np.asarray(scale_provided, np.float32))
+
+
+class ResidentFeed:
+    """Per-step host plans for the resident train step: (idx, inv_m, joints).
+
+    ``augment=True`` samples the SAME AugmentSelection as the host pipeline
+    (flip/rotate/scale/shift; tint skipped — see module docstring), builds
+    the combined forward affine around each record's objpos/scale, warps the
+    JOINTS on the host (18 points — micro-work) exactly like
+    Transformer.transform, and ships the 2x3 INVERSE map for the device
+    image/mask warp. ``augment=False`` ships identity maps."""
+
+    def __init__(self, store: ResidentStore, config: CanonicalConfig,
+                 augment: bool = True, max_people: int = 8):
+        self.store = store
+        self.config = config
+        self.augment = augment
+        self.max_people = max_people
+
+    def _plan_one(self, idx: int, rng: np.random.RandomState):
+        if not self.augment:
+            return _IDENTITY_M, pad_people(self.store.joints[idx],
+                                           self.max_people)
+        aug = AugmentSelection.random(
+            self.config.aug, _pyrandom.Random(rng.randint(2 ** 31)))
+        return self.plan_for(idx, aug)
+
+    def plan_for(self, idx: int, aug: AugmentSelection):
+        """(inv_m (2,3), padded joints (P,18,3)) for one record under a
+        GIVEN AugmentSelection — the host-side half of the device warp."""
+        joints = self.store.joints[idx]
+        M, _ = aug.affine(tuple(self.store.objpos[idx]),
+                          float(self.store.scale_provided[idx]), self.config)
+        warped = joints.copy()
+        homo = joints.copy()
+        homo[:, :, 2] = 1.0
+        warped[:, :, :2] = np.matmul(
+            M, homo.transpose(0, 2, 1)).transpose(0, 2, 1)
+        if aug.flip:   # L/R identity swap (py_data_transformer.py:171-176)
+            tmp = warped[:, LEFT_PARTS, :].copy()
+            warped[:, LEFT_PARTS, :] = warped[:, RIGHT_PARTS, :]
+            warped[:, RIGHT_PARTS, :] = tmp
+        return _invert_affine(M), pad_people(warped, self.max_people)
+
+    def plan_batches(self, batch_size: int, steps: int, seed: int = 0,
+                     rank: int = 0, world: int = 1,
+                     ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """``batch_size`` is GLOBAL; every process draws the same plan from
+        ``seed`` and keeps its contiguous 1/world slice (the shared-plan
+        multihost pattern, parallel/mesh.assemble_global_batch)."""
+        rng = np.random.RandomState(seed)
+        per = batch_size // world
+        assert per * world == batch_size, (batch_size, world)
+        n = len(self.store)
+        for _ in range(steps):
+            idxs = rng.randint(0, n, batch_size)
+            # sample every aug from the shared stream so ranks stay in sync,
+            # then slice
+            plans = [self._plan_one(int(i), rng) for i in idxs]
+            sl = slice(rank * per, (rank + 1) * per)
+            inv_m = np.stack([p[0] for p in plans])[sl]
+            joints = np.stack([p[1] for p in plans])[sl]
+            yield (idxs[sl].astype(np.int32), inv_m.astype(np.float32),
+                   joints.astype(np.float32))

@@ -125,6 +125,17 @@ class SyntheticDataset:
                if image_u8 else img.astype(bf16))
         return (img, mask, (pad_people(joints, max_people), mask_all))
 
+    def resident_raw(self, idx: int):
+        """(image uint8, joints (n,18,3)) for the device-resident feed
+        (data/resident.build_store): the raw fixed-size record, no GT —
+        masks are implicit ones and the gaussians rasterize on device."""
+        rng = np.random.RandomState(self.seed * 100003 + idx)
+        H = W = self.size
+        joints = random_people(rng, H, W)
+        img = render_image(joints, H, W, rng)
+        return (np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8),
+                joints)
+
     def batches(self, batch_size: int, steps: int, seed: int = 0,
                 rank: int = 0, world: int = 1, compact: bool = False,
                 max_people: int = 8, image_u8: bool = False,

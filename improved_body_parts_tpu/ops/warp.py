@@ -46,11 +46,14 @@ def resize_cubic_cv2(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 
 
 def affine_warp(img: jnp.ndarray, inv_m: np.ndarray,
-                fill_value: float = 0.0) -> jnp.ndarray:
+                fill_value=0.0, out_hw=None) -> jnp.ndarray:
     """Warp (H, W, C) by the inverse map ``inv_m`` (output->input coords),
-    bilinear, constant fill outside."""
+    bilinear, constant fill outside. ``fill_value`` may be a scalar or a
+    (C,)-vector (per-channel border, cv2 borderValue-style); ``out_hw``
+    sets the output canvas (defaults to the input shape)."""
     h, w = img.shape[:2]
-    yy, xx = jnp.mgrid[0:h, 0:w]
+    oh, ow = out_hw or (h, w)
+    yy, xx = jnp.mgrid[0:oh, 0:ow]
     xs = inv_m[0, 0] * xx + inv_m[0, 1] * yy + inv_m[0, 2]
     ys = inv_m[1, 0] * xx + inv_m[1, 1] * yy + inv_m[1, 2]
     inb = (xs >= 0) & (xs <= w - 1) & (ys >= 0) & (ys <= h - 1)
@@ -64,4 +67,4 @@ def affine_warp(img: jnp.ndarray, inv_m: np.ndarray,
     fy = (yc - y0)[..., None]
     v = (img[y0, x0] * (1 - fx) * (1 - fy) + img[y0, x1] * fx * (1 - fy)
          + img[y1, x0] * (1 - fx) * fy + img[y1, x1] * fx * fy)
-    return jnp.where(inb[..., None], v, fill_value)
+    return jnp.where(inb[..., None], v, jnp.asarray(fill_value, v.dtype))

@@ -38,8 +38,10 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def batch_sharding(mesh: Mesh, shard_spatial: bool = False) -> NamedSharding:
-    """NHWC batch: shard N on data (and optionally H on spatial)."""
-    spec = P(DATA_AXIS, SPATIAL_AXIS if shard_spatial else None)
+    """Batch pytree leaves: shard dim 0 on data (and optionally dim 1 on
+    spatial). The un-spatial spec names ONLY dim 0 so rank-1 leaves (e.g.
+    the resident feed's index vector) shard too."""
+    spec = P(DATA_AXIS, SPATIAL_AXIS) if shard_spatial else P(DATA_AXIS)
     return NamedSharding(mesh, spec)
 
 
@@ -51,7 +53,8 @@ def chunked_batch_sharding(mesh: Mesh,
                            shard_spatial: bool = False) -> NamedSharding:
     """(K, B, H, W, C) stacked-chunk batch: the scan axis K is unsharded,
     B shards on data (and optionally H on spatial)."""
-    spec = P(None, DATA_AXIS, SPATIAL_AXIS if shard_spatial else None)
+    spec = (P(None, DATA_AXIS, SPATIAL_AXIS) if shard_spatial
+            else P(None, DATA_AXIS))
     return NamedSharding(mesh, spec)
 
 

@@ -174,6 +174,59 @@ def make_train_step(model, cfg: CanonicalConfig, use_focal: bool = True,
     return jax.jit(step_fn, donate_argnums=donate_argnums)
 
 
+def make_resident_train_step(model, cfg: CanonicalConfig,
+                             use_focal: bool = True, donate: bool = True,
+                             freeze_bn: bool = False):
+    """Train step for the device-RESIDENT feed (data/resident.py): the
+    dataset lives in HBM; per step only KILOBYTES cross the wire.
+
+    ``(state, store, idx, inv_m, joints, lr) -> (state, metrics)`` where
+    ``store`` is the dict of resident arrays (images (N,H0,W0,3) u8 and
+    optionally mask_miss / mask_all (N,H0,W0) u8 — absent masks mean ones),
+    ``idx`` (B,) int32 sample indices, ``inv_m`` (B,2,3) the inverse
+    augmentation affines (output->input coords; identity when unaugmented)
+    and ``joints`` (B,P,18,3) the HOST-warped joints. In-graph: gather ->
+    normalize -> per-sample bilinear warp onto the (H,W) train canvas with
+    the reference border colors (py_data_transformer.py:118-129) -> exact
+    4x4 box-mean mask decimation (== cv2 INTER_AREA at integer stride) ->
+    compact-GT rasterization + the shared loss/update path.
+    The store is NOT donated — it is reused every step."""
+    step_fn = _build_step_fn(model, cfg, use_focal, freeze_bn,
+                             compact_gt=True)
+    from improved_body_parts_tpu.ops.warp import affine_warp
+    H, W, s = cfg.height, cfg.width, cfg.stride
+    h4, w4 = H // s, W // s
+    img_fill = jnp.asarray([124.0, 127.0, 127.0]) / 255.0   # BGR border
+
+    def _decimate(m):                        # (B,H,W) -> (B,h4,w4)
+        return m.reshape(m.shape[0], h4, s, w4, s).mean(axis=(2, 4))
+
+    def resident_fn(state: TrainState, store, idx, inv_m, joints, lr):
+        imgs = store["images"][idx].astype(jnp.float32) / 255.0
+        imgs = jax.vmap(
+            lambda im, m: affine_warp(im, m, fill_value=img_fill,
+                                      out_hw=(H, W)))(imgs, inv_m)
+        B = idx.shape[0]
+        if "mask_miss" in store:
+            mm = store["mask_miss"][idx].astype(jnp.float32)[..., None] / 255.0
+            mm = jax.vmap(lambda m, a: affine_warp(m, a, fill_value=1.0,
+                                                   out_hw=(H, W)))(mm, inv_m)
+            mm = _decimate(mm[..., 0])[..., None]
+        else:
+            mm = jnp.ones((B, h4, w4, 1), jnp.float32)
+        if "mask_all" in store:
+            ma = store["mask_all"][idx].astype(jnp.float32)[..., None] / 255.0
+            ma = jax.vmap(lambda m, a: affine_warp(m, a, fill_value=0.0,
+                                                   out_hw=(H, W)))(ma, inv_m)
+            ma = _decimate(ma[..., 0])
+        else:
+            ma = jnp.ones((B, h4, w4), jnp.float32)
+        return step_fn(state, imgs, mm, (joints, ma), lr)
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(resident_fn, donate_argnums=donate_argnums)
+
+
 def make_multi_train_step(model, cfg: CanonicalConfig, use_focal: bool = True,
                           donate: bool = True, freeze_bn: bool = False,
                           compact_gt: bool = False):

@@ -63,7 +63,8 @@ def main():
                              "(train_lib.make_multi_train_step), dividing "
                              "the per-dispatch RPC overhead — the dominant "
                              "cost over the axon tunnel — by K")
-    parser.add_argument("--feed", choices=["dense", "compact", "compact-u8"],
+    parser.add_argument("--feed",
+                        choices=["dense", "compact", "compact-u8", "resident"],
                         default="dense",
                         help="host->device GT format: 'dense' ships the "
                              "(B,h,w,50) fp32 heatmaps; 'compact' ships bf16 "
@@ -74,7 +75,17 @@ def main():
                              "network-attached chip; 'compact-u8' further "
                              "ships the images as uint8 (half the remaining "
                              "bytes; in-graph normalize, quantization ≤1/510 "
-                             "≈ bf16 rounding)")
+                             "≈ bf16 rounding); 'resident' uploads the whole "
+                             "uint8 dataset to HBM once and per step ships "
+                             "only (indices, affines, joints) — KILOBYTES; "
+                             "gather + augmentation warp + GT rasterization "
+                             "all run in-graph (data/resident.py)")
+    parser.add_argument("--resident-augment", action="store_true",
+                        help="with --feed resident: apply the geometric "
+                             "augmentation on device even for the synthetic "
+                             "dataset (h5 datasets augment by default, "
+                             "mirroring the host pipeline; tint is skipped "
+                             "— see data/resident.py)")
     parser.add_argument("--max-people", type=int, default=8,
                         help="people-slot padding for --feed compact")
     parser.add_argument("--max_grad_norm", type=float, default=0.0)
@@ -178,26 +189,56 @@ def main():
         val_ds = SyntheticDataset(config, length=64, seed=999,
                                   image_size=image_size)
 
-    if args.workers > 0:
+    resident = args.feed == "resident"
+    store = feed_r = None
+    if resident:
+        # the dataset lives in HBM: build the fixed-canvas store once,
+        # replicate it over the mesh, and generate per-step plans on host
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from improved_body_parts_tpu.data import resident as resident_lib
+        t0 = time.time()
+        store_h = resident_lib.build_store(train_ds)
+        store = store_h.device_arrays(NamedSharding(mesh, PartitionSpec()))
+        feed_r = resident_lib.ResidentFeed(
+            store_h, dataclasses.replace(config, width=image_size,
+                                         height=image_size),
+            augment=bool(args.train_h5) or args.resident_augment,
+            max_people=args.max_people)
+        mb = sum(int(np.prod(v.shape)) for v in store.values()) / 1e6
+        print(f"resident store: {len(store_h)} records, {mb:.0f} MB uint8 "
+              f"uploaded in {time.time() - t0:.1f}s")
+    elif args.workers > 0:
         from improved_body_parts_tpu.data.prefetch import PrefetchingLoader
         train_ds = PrefetchingLoader(train_ds, num_workers=args.workers)
 
     steps = args.steps_per_epoch or max(len(train_ds) // global_batch, 1)
     kd = max(args.steps_per_dispatch, 1)
+    if resident:
+        assert kd == 1, "--feed resident does not support --steps-per-dispatch"
     compact = args.feed.startswith("compact")
     image_u8 = args.feed == "compact-u8"
     # the in-graph GT rasterizer (--feed compact) sizes its stride grid from
     # the config; keep it in lockstep with --image-size like the datasets do
     step_config = dataclasses.replace(config, width=image_size,
                                       height=image_size)
-    make_step = (train_lib.make_multi_train_step if kd > 1
-                 else train_lib.make_train_step)
-    train_step = make_step(model, step_config, use_focal=args.loss == "focal",
-                           compact_gt=compact)
-    # SWA epochs run with frozen BatchNorm (train_distributed_SWA.py:221)
-    swa_step = (make_step(model, step_config, use_focal=args.loss == "focal",
-                          freeze_bn=True, compact_gt=compact)
-                if args.swa else None)
+    if resident:
+        train_step = train_lib.make_resident_train_step(
+            model, step_config, use_focal=args.loss == "focal")
+        swa_step = (train_lib.make_resident_train_step(
+            model, step_config, use_focal=args.loss == "focal",
+            freeze_bn=True) if args.swa else None)
+    else:
+        make_step = (train_lib.make_multi_train_step if kd > 1
+                     else train_lib.make_train_step)
+        train_step = make_step(model, step_config,
+                               use_focal=args.loss == "focal",
+                               compact_gt=compact)
+        # SWA epochs run with frozen BatchNorm (train_distributed_SWA.py:221)
+        swa_step = (make_step(model, step_config,
+                              use_focal=args.loss == "focal",
+                              freeze_bn=True, compact_gt=compact)
+                    if args.swa else None)
     eval_step = train_lib.make_eval_step(model, config,
                                          use_focal=args.loss == "focal")
 
@@ -212,10 +253,13 @@ def main():
         # device staging (assemble_global_batch) for batch N+1 overlaps
         # step N on a worker thread (reference: non_blocking H2D copies,
         # train_distributed.py:256-258)
-        host_batches = train_ds.batches(global_batch, steps, seed=epoch,
-                                        rank=rank, world=world,
-                                        compact=compact, image_u8=image_u8,
-                                        max_people=args.max_people)
+        host_batches = None
+        if not resident:
+            host_batches = train_ds.batches(global_batch, steps, seed=epoch,
+                                            rank=rank, world=world,
+                                            compact=compact,
+                                            image_u8=image_u8,
+                                            max_people=args.max_people)
 
         def step_lr(step):
             if swa_active:
@@ -226,7 +270,29 @@ def main():
                                            use_warmup=not args.no_warmup)
 
         active_step = swa_step if (swa_active and swa_step) else train_step
-        if kd > 1:
+        if resident:
+            # per-step payload: (idx, inv_m, joints) — a few KB; the store
+            # is already in HBM and passes by handle
+            plans = feed_r.plan_batches(global_batch, steps, seed=epoch,
+                                        rank=rank, world=world)
+            if args.stage_depth > 0:
+                feed = mesh_lib.staged_batches(mesh, plans,
+                                               depth=args.stage_depth)
+            else:
+                feed = (mesh_lib.assemble_global_batch(mesh, p)
+                        for p in plans)
+            for step, (idx, inv_m, joints) in enumerate(feed):
+                lr = step_lr(step)
+                state, metrics = active_step(state, store, idx, inv_m,
+                                             joints, jnp.float32(lr))
+                loss_accs.append(metrics["loss"])
+                skip_accs.append(metrics["skipped"])
+                if step % args.print_freq == 0:
+                    loss = float(metrics["loss"])
+                    print(f"epoch {epoch} step {step}/{steps} "
+                          f"loss {loss:.4f} lr {lr:.2e} "
+                          f"gnorm {float(metrics['grad_norm']):.2f}")
+        elif kd > 1:
             # K optimizer steps per dispatch (lax.scan inside one XLA call);
             # staging of chunk N+1 overlaps dispatch N on a worker thread
             step = 0
