@@ -138,6 +138,40 @@ def test_device_warp_matches_cv2_transformer():
     assert np.abs(d_ma - h_ma).mean() < 0.02
 
 
+def test_multi_resident_dispatch_matches_single_steps():
+    """K=2 scan steps in one dispatch must equal two single resident steps
+    (same optimizer trajectory, stacked metrics)."""
+    size = 64
+    config, model, params, bs = _tiny(size)
+    ds = SyntheticDataset(config, length=4, image_size=size)
+    store_h = build_store(ds)
+    store = store_h.device_arrays()
+    feed = ResidentFeed(store_h, config, augment=True, max_people=8)
+
+    plans = list(feed.plan_batches(2, steps=2, seed=3))
+    single = train_lib.make_resident_train_step(model, config, donate=False)
+    multi = train_lib.make_multi_resident_train_step(model, config,
+                                                     donate=False)
+
+    state_s = train_lib.create_train_state(params, bs, config.train)
+    losses = []
+    for (idx, inv_m, joints), lr in zip(plans, (1e-4, 2e-4)):
+        state_s, m = single(state_s, store, jnp.asarray(idx),
+                            jnp.asarray(inv_m), jnp.asarray(joints),
+                            jnp.float32(lr))
+        losses.append(float(m["loss"]))
+
+    state_m = train_lib.create_train_state(params, bs, config.train)
+    stack = lambda k: jnp.asarray(np.stack([p[k] for p in plans]))
+    state_m, mm = multi(state_m, store, stack(0), stack(1), stack(2),
+                        jnp.asarray([1e-4, 2e-4], jnp.float32))
+    np.testing.assert_allclose(np.asarray(mm["loss"]), losses, rtol=1e-5)
+    assert int(state_m.step) == int(state_s.step) == 2
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5),
+        state_m.params, state_s.params)
+
+
 def test_plan_batches_world_slicing():
     config = CanonicalConfig(width=64, height=64)
     ds = SyntheticDataset(config, length=5, image_size=64)

@@ -214,8 +214,6 @@ def main():
 
     steps = args.steps_per_epoch or max(len(train_ds) // global_batch, 1)
     kd = max(args.steps_per_dispatch, 1)
-    if resident:
-        assert kd == 1, "--feed resident does not support --steps-per-dispatch"
     compact = args.feed.startswith("compact")
     image_u8 = args.feed == "compact-u8"
     # the in-graph GT rasterizer (--feed compact) sizes its stride grid from
@@ -223,11 +221,13 @@ def main():
     step_config = dataclasses.replace(config, width=image_size,
                                       height=image_size)
     if resident:
-        train_step = train_lib.make_resident_train_step(
-            model, step_config, use_focal=args.loss == "focal")
-        swa_step = (train_lib.make_resident_train_step(
-            model, step_config, use_focal=args.loss == "focal",
-            freeze_bn=True) if args.swa else None)
+        make_res = (train_lib.make_multi_resident_train_step if kd > 1
+                    else train_lib.make_resident_train_step)
+        train_step = make_res(model, step_config,
+                              use_focal=args.loss == "focal")
+        swa_step = (make_res(model, step_config,
+                             use_focal=args.loss == "focal", freeze_bn=True)
+                    if args.swa else None)
     else:
         make_step = (train_lib.make_multi_train_step if kd > 1
                      else train_lib.make_train_step)
@@ -275,23 +275,44 @@ def main():
             # is already in HBM and passes by handle
             plans = feed_r.plan_batches(global_batch, steps, seed=epoch,
                                         rank=rank, world=world)
-            if args.stage_depth > 0:
-                feed = mesh_lib.staged_batches(mesh, plans,
-                                               depth=args.stage_depth)
+            if kd > 1:
+                # K scan steps per dispatch: with KB-sized plans this
+                # divides the per-dispatch RPC overhead by K at ~zero
+                # added transfer (unlike the wire feeds, where it hurt)
+                step = 0
+                for n_steps, chunk in mesh_lib.staged_chunks(
+                        mesh, plans, k=kd, depth=max(args.stage_depth, 1)):
+                    lrs = np.asarray([step_lr(step + i)
+                                      for i in range(n_steps)], np.float32)
+                    state, metrics = active_step(state, store, chunk[0],
+                                                 chunk[1], chunk[2],
+                                                 jnp.asarray(lrs))
+                    loss_accs.append(metrics["loss"])
+                    skip_accs.append(metrics["skipped"])
+                    if (step // kd) % max(args.print_freq // kd, 1) == 0:
+                        loss = float(metrics["loss"][-1])
+                        print(f"epoch {epoch} step {step + n_steps - 1}"
+                              f"/{steps} loss {loss:.4f} lr {lrs[-1]:.2e} "
+                              f"gnorm {float(metrics['grad_norm'][-1]):.2f}")
+                    step += n_steps
             else:
-                feed = (mesh_lib.assemble_global_batch(mesh, p)
-                        for p in plans)
-            for step, (idx, inv_m, joints) in enumerate(feed):
-                lr = step_lr(step)
-                state, metrics = active_step(state, store, idx, inv_m,
-                                             joints, jnp.float32(lr))
-                loss_accs.append(metrics["loss"])
-                skip_accs.append(metrics["skipped"])
-                if step % args.print_freq == 0:
-                    loss = float(metrics["loss"])
-                    print(f"epoch {epoch} step {step}/{steps} "
-                          f"loss {loss:.4f} lr {lr:.2e} "
-                          f"gnorm {float(metrics['grad_norm']):.2f}")
+                if args.stage_depth > 0:
+                    feed = mesh_lib.staged_batches(mesh, plans,
+                                                   depth=args.stage_depth)
+                else:
+                    feed = (mesh_lib.assemble_global_batch(mesh, p)
+                            for p in plans)
+                for step, (idx, inv_m, joints) in enumerate(feed):
+                    lr = step_lr(step)
+                    state, metrics = active_step(state, store, idx, inv_m,
+                                                 joints, jnp.float32(lr))
+                    loss_accs.append(metrics["loss"])
+                    skip_accs.append(metrics["skipped"])
+                    if step % args.print_freq == 0:
+                        loss = float(metrics["loss"])
+                        print(f"epoch {epoch} step {step}/{steps} "
+                              f"loss {loss:.4f} lr {lr:.2e} "
+                              f"gnorm {float(metrics['grad_norm']):.2f}")
         elif kd > 1:
             # K optimizer steps per dispatch (lax.scan inside one XLA call);
             # staging of chunk N+1 overlaps dispatch N on a worker thread
