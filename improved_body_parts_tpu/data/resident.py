@@ -28,10 +28,13 @@ INTER_LINEAR (≤1/32 per pixel, bounded by tests/test_resident.py) and
 re-uploading; geometric aug only — documented).
 
 Memory: a 512-record synthetic epoch at 512² is ~0.4 GB of uint8 in HBM
-(16 GB on v5e). Datasets beyond HBM shard record-ranges across the mesh's
-data axis at pod scale (each chip samples its local shard — the
-DistributedSampler pattern with the dataset itself distributed); this module
-replicates the store and documents the sharded variant.
+(16 GB on v5e). Datasets beyond one chip's HBM shard contiguous record
+ranges across the mesh's data axis at pod scale: upload the store with a
+``P('data')`` sharding, plan with ``plan_batches(store_shards=n_data)``
+(each batch element samples the shard it lands on; indices go out
+shard-local) and build the step with ``train_lib.make_resident_train_step(
+store_mesh=mesh)`` — the shard_map gather is collective-free (the
+DistributedSampler pattern with the dataset itself distributed).
 """
 
 from __future__ import annotations
@@ -207,22 +210,42 @@ class ResidentFeed:
         return _invert_affine(M), pad_people(warped, self.max_people)
 
     def plan_batches(self, batch_size: int, steps: int, seed: int = 0,
-                     rank: int = 0, world: int = 1,
+                     rank: int = 0, world: int = 1, store_shards: int = 1,
                      ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """``batch_size`` is GLOBAL; every process draws the same plan from
         ``seed`` and keeps its contiguous 1/world slice (the shared-plan
-        multihost pattern, parallel/mesh.assemble_global_batch)."""
+        multihost pattern, parallel/mesh.assemble_global_batch).
+
+        ``store_shards`` > 1 plans for a store SHARDED over the mesh's data
+        axis (train_lib make_resident_train_step(store_mesh=...)): batch
+        element j gathers only from the contiguous record range held by the
+        data shard j lands on, and the emitted indices are SHARD-LOCAL (the
+        DistributedSampler pattern with the dataset itself distributed —
+        reference train_distributed.py:209-211). Host metadata (joints /
+        affines) is still planned from the global record id."""
         rng = np.random.RandomState(seed)
         per = batch_size // world
         assert per * world == batch_size, (batch_size, world)
         n = len(self.store)
+        if store_shards > 1:
+            assert n % store_shards == 0, (n, store_shards)
+            assert batch_size % store_shards == 0, (batch_size, store_shards)
+            n_local = n // store_shards
+            per_shard_b = batch_size // store_shards
+            shard_of = np.arange(batch_size) // per_shard_b
         for _ in range(steps):
-            idxs = rng.randint(0, n, batch_size)
+            if store_shards > 1:
+                local = rng.randint(0, n_local, batch_size)
+                idxs = shard_of * n_local + local        # global, for plans
+                wire_idxs = local
+            else:
+                idxs = rng.randint(0, n, batch_size)
+                wire_idxs = idxs
             # sample every aug from the shared stream so ranks stay in sync,
             # then slice
             plans = [self._plan_one(int(i), rng) for i in idxs]
             sl = slice(rank * per, (rank + 1) * per)
             inv_m = np.stack([p[0] for p in plans])[sl]
             joints = np.stack([p[1] for p in plans])[sl]
-            yield (idxs[sl].astype(np.int32), inv_m.astype(np.float32),
+            yield (wire_idxs[sl].astype(np.int32), inv_m.astype(np.float32),
                    joints.astype(np.float32))

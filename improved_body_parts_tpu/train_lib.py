@@ -176,7 +176,7 @@ def make_train_step(model, cfg: CanonicalConfig, use_focal: bool = True,
 
 def make_resident_train_step(model, cfg: CanonicalConfig,
                              use_focal: bool = True, donate: bool = True,
-                             freeze_bn: bool = False):
+                             freeze_bn: bool = False, store_mesh=None):
     """Train step for the device-RESIDENT feed (data/resident.py): the
     dataset lives in HBM; per step only KILOBYTES cross the wire.
 
@@ -190,15 +190,23 @@ def make_resident_train_step(model, cfg: CanonicalConfig,
     the reference border colors (py_data_transformer.py:118-129) -> exact
     4x4 box-mean mask decimation (== cv2 INTER_AREA at integer stride) ->
     compact-GT rasterization + the shared loss/update path.
-    The store is NOT donated — it is reused every step."""
+    The store is NOT donated — it is reused every step.
+
+    ``store_mesh``: pass the training Mesh to SHARD the store over the
+    mesh's data axis (pod scale — datasets beyond one chip's HBM). Each
+    data-axis shard holds a contiguous record range and every batch element
+    gathers from the shard it lands on (indices are SHARD-LOCAL — produced
+    by ResidentFeed.plan_batches(store_shards=...)); the shard_map gather is
+    collective-free. ``store_mesh=None`` (default) expects a replicated (or
+    single-device) store with global indices."""
     step_fn = _build_step_fn(model, cfg, use_focal, freeze_bn,
                              compact_gt=True)
-    resident_fn = _build_resident_fn(step_fn, cfg)
+    resident_fn = _build_resident_fn(step_fn, cfg, store_mesh)
     donate_argnums = (0,) if donate else ()
     return jax.jit(resident_fn, donate_argnums=donate_argnums)
 
 
-def _build_resident_fn(step_fn, cfg: CanonicalConfig):
+def _build_resident_fn(step_fn, cfg: CanonicalConfig, store_mesh=None):
     """Wrap a raw step_fn with the in-graph resident preprocessing:
     gather -> normalize -> per-sample augmentation warp -> mask decimation
     (see make_resident_train_step)."""
@@ -207,24 +215,42 @@ def _build_resident_fn(step_fn, cfg: CanonicalConfig):
     h4, w4 = H // s, W // s
     img_fill = jnp.asarray([124.0, 127.0, 127.0]) / 255.0   # BGR border
 
+    if store_mesh is not None:
+        from jax.sharding import PartitionSpec as _P
+
+        from improved_body_parts_tpu.parallel.mesh import DATA_AXIS
+
+        def _gather(arr, idx):
+            # each data shard indexes its LOCAL record block with its LOCAL
+            # slice of the (data-sharded) index vector — no collectives
+            return jax.shard_map(
+                lambda a, i: a[i], mesh=store_mesh,
+                in_specs=(_P(DATA_AXIS), _P(DATA_AXIS)),
+                out_specs=_P(DATA_AXIS))(arr, idx)
+    else:
+        def _gather(arr, idx):
+            return arr[idx]
+
     def _decimate(m):                        # (B,H,W) -> (B,h4,w4)
         return m.reshape(m.shape[0], h4, s, w4, s).mean(axis=(2, 4))
 
     def resident_fn(state: TrainState, store, idx, inv_m, joints, lr):
-        imgs = store["images"][idx].astype(jnp.float32) / 255.0
+        imgs = _gather(store["images"], idx).astype(jnp.float32) / 255.0
         imgs = jax.vmap(
             lambda im, m: affine_warp(im, m, fill_value=img_fill,
                                       out_hw=(H, W)))(imgs, inv_m)
         B = idx.shape[0]
         if "mask_miss" in store:
-            mm = store["mask_miss"][idx].astype(jnp.float32)[..., None] / 255.0
+            mm = _gather(store["mask_miss"],
+                         idx).astype(jnp.float32)[..., None] / 255.0
             mm = jax.vmap(lambda m, a: affine_warp(m, a, fill_value=1.0,
                                                    out_hw=(H, W)))(mm, inv_m)
             mm = _decimate(mm[..., 0])[..., None]
         else:
             mm = jnp.ones((B, h4, w4, 1), jnp.float32)
         if "mask_all" in store:
-            ma = store["mask_all"][idx].astype(jnp.float32)[..., None] / 255.0
+            ma = _gather(store["mask_all"],
+                         idx).astype(jnp.float32)[..., None] / 255.0
             ma = jax.vmap(lambda m, a: affine_warp(m, a, fill_value=0.0,
                                                    out_hw=(H, W)))(ma, inv_m)
             ma = _decimate(ma[..., 0])
@@ -238,7 +264,8 @@ def _build_resident_fn(step_fn, cfg: CanonicalConfig):
 def make_multi_resident_train_step(model, cfg: CanonicalConfig,
                                    use_focal: bool = True,
                                    donate: bool = True,
-                                   freeze_bn: bool = False):
+                                   freeze_bn: bool = False,
+                                   store_mesh=None):
     """K resident train steps per device dispatch.
 
     ``(state, store, idx (K,B), inv_m (K,B,2,3), joints (K,B,P,18,3),
@@ -251,10 +278,11 @@ def make_multi_resident_train_step(model, cfg: CanonicalConfig,
     to HURT — NOTES round-3); with the resident feed the per-step payload
     is a few KB, so K scan steps divide the fixed per-dispatch RPC
     overhead (which scales with the ~600-buffer argument tree, NOTES
-    round-2) by K at ~zero added transfer."""
+    round-2) by K at ~zero added transfer. ``store_mesh`` shards the store
+    over the data axis (see make_resident_train_step)."""
     step_fn = _build_step_fn(model, cfg, use_focal, freeze_bn,
                              compact_gt=True)
-    resident_fn = _build_resident_fn(step_fn, cfg)
+    resident_fn = _build_resident_fn(step_fn, cfg, store_mesh)
 
     def multi_fn(state: TrainState, store, idx, inv_m, joints, lr):
         def body(st, xs):

@@ -208,6 +208,55 @@ def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Tuple[dict, dict]:
     return params, batch_stats
 
 
+def export_to_torch_state_dict(params: dict, batch_stats: dict,
+                               template: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of ``convert_torch_state_dict``: fill a reference-format
+    state_dict (keys/shapes taken from ``template``, e.g. the real reference
+    ``PoseNet().state_dict()``) with our Flax leaves, so a checkpoint trained
+    here can be loaded by the reference code (models/posenet.py:50-122) for
+    apples-to-apples A/B runs. Returns {key: numpy array}; keys the mapper
+    ignores (num_batches_tracked, criterion buffers) keep the template value.
+    Raises KeyError/ValueError on a missing leaf or shape mismatch."""
+    def fetch(tree, path, leaf):
+        node = tree
+        for p in path:
+            node = node[p]
+        return np.asarray(node[leaf])
+
+    out: Dict[str, np.ndarray] = {}
+    for key, tval in template.items():
+        tshape = tuple(getattr(tval, "shape", ()))
+        mapped = map_reference_key(key)
+        if mapped is None:
+            arr = np.asarray(tval.detach().cpu().numpy()
+                             if hasattr(tval, "detach") else tval)
+            out[key] = arr
+            continue
+        path, leaf = mapped
+        if leaf == "kernel":
+            arr = fetch(params, path, "kernel")
+            if arr.ndim == 4:        # flax HWIO -> torch conv OIHW
+                arr = arr.transpose(3, 2, 0, 1)
+            elif arr.ndim == 2:      # flax (I, O) -> torch Linear (O, I)
+                arr = arr.T
+        elif leaf == "bias":
+            arr = fetch(params, path, "bias")
+        elif leaf == "weight":       # BN scale
+            arr = fetch(params, path, "scale")
+        elif leaf == "running_mean":
+            arr = fetch(batch_stats, path, "mean")
+        elif leaf == "running_var":
+            arr = fetch(batch_stats, path, "var")
+        else:  # pragma: no cover - mapper never returns other kinds
+            raise ValueError(f"unknown leaf kind {leaf} for {key}")
+        arr = np.ascontiguousarray(np.asarray(arr, np.float32))
+        if tuple(arr.shape) != tshape:
+            raise ValueError(f"shape mismatch for {key}: "
+                             f"got {arr.shape} want {tshape}")
+        out[key] = arr
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Load a reference ``.pth`` file ({'weights': state_dict, ...})."""
     import torch

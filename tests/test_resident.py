@@ -231,3 +231,72 @@ def test_h5_store_builder_and_augmented_step(tmp_path):
                               jnp.asarray(inv_m), jnp.asarray(joints),
                               jnp.float32(1e-4))
         assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sharded_store_matches_replicated():
+    """Pod-scale store sharding: with the store sharded over the mesh's data
+    axis (P('data') record ranges + shard-local indices + the shard_map
+    gather in train_lib) the gathered records must be BIT-EXACTLY the ones a
+    replicated store yields for the equivalent global indices, and the full
+    train step's loss must match the replicated-store step (loose tolerance:
+    the two XLA programs differ, so reduction order drifts ~1e-5 relative —
+    the same program-level drift NOTES documents for the feed A/Bs)."""
+    from improved_body_parts_tpu.parallel import mesh as mesh_lib
+
+    size = 64
+    config, model, params, bs = _tiny(size)
+    mesh = mesh_lib.make_mesh(4, spatial=1)
+    n_data = mesh.shape[mesh_lib.DATA_AXIS]
+    ds = SyntheticDataset(config, length=8, image_size=size)
+    store_h = build_store(ds)
+    assert len(store_h) % n_data == 0
+
+    batch_sh = mesh_lib.batch_sharding(mesh)
+    repl = mesh_lib.replicated(mesh)
+    store_repl = store_h.device_arrays(sharding=repl)
+    store_shard = store_h.device_arrays(sharding=batch_sh)
+
+    state_s = jax.device_put(
+        train_lib.create_train_state(params, bs, config.train), repl)
+    state_r = jax.device_put(
+        train_lib.create_train_state(params, bs, config.train), repl)
+    step_s = train_lib.make_resident_train_step(model, config, donate=False,
+                                                store_mesh=mesh)
+    step_r = train_lib.make_resident_train_step(model, config, donate=False)
+
+    feed = ResidentFeed(store_h, config, augment=True, max_people=8)
+    n_local = len(store_h) // n_data
+    B = 8
+    per_shard_b = B // n_data
+    shard_of = np.arange(B) // per_shard_b
+
+    # 1) the shard_map gather itself is bit-exact vs global indexing
+    from jax.sharding import PartitionSpec as P
+    gather = jax.jit(jax.shard_map(
+        lambda a, i: a[i], mesh=mesh,
+        in_specs=(P(mesh_lib.DATA_AXIS), P(mesh_lib.DATA_AXIS)),
+        out_specs=P(mesh_lib.DATA_AXIS)))
+    rng = np.random.RandomState(0)
+    local_probe = rng.randint(0, n_local, B).astype(np.int32)
+    got = np.asarray(gather(store_shard["images"],
+                            jax.device_put(local_probe, batch_sh)))
+    want = store_h.images[shard_of * n_local + local_probe]
+    np.testing.assert_array_equal(got, want)
+
+    # 2) the full step's loss matches the replicated-store step
+    losses = []
+    for local_idx, inv_m, joints in feed.plan_batches(
+            B, steps=2, seed=3, store_shards=n_data):
+        args = [jax.device_put(jnp.asarray(a), batch_sh)
+                for a in (local_idx, inv_m, joints)]
+        state_s, m_s = step_s(state_s, store_shard, *args,
+                              jnp.float32(1e-4))
+        global_idx = (shard_of * n_local + local_idx).astype(np.int32)
+        args_r = [jax.device_put(jnp.asarray(a), batch_sh)
+                  for a in (global_idx, inv_m, joints)]
+        state_r, m_r = step_r(state_r, store_repl, *args_r,
+                              jnp.float32(1e-4))
+        np.testing.assert_allclose(float(m_s["loss"]), float(m_r["loss"]),
+                                   rtol=5e-5)
+        losses.append(float(m_s["loss"]))
+    assert len(losses) == 2 and np.isfinite(np.asarray(losses)).all()

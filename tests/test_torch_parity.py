@@ -75,3 +75,37 @@ def test_forward_numerics_match(pair):
             np.testing.assert_allclose(
                 got, want, rtol=2e-4, atol=2e-4,
                 err_msg=f"stack {t} scale {s}")
+
+
+def test_export_round_trips_state_dict(pair):
+    """flax -> torch export (utils/checkpoint.export_to_torch_state_dict) is
+    the exact inverse of the torch -> flax converter: every tensor of the
+    reference-format state_dict round-trips bit-for-bit. This is what lets a
+    checkpoint trained HERE run under the reference code for A/B evals."""
+    from improved_body_parts_tpu.utils.checkpoint import (
+        export_to_torch_state_dict,
+    )
+    tmodel, _ = pair
+    sd = tmodel.state_dict()
+    params, batch_stats = convert_torch_state_dict(sd)
+    exported = export_to_torch_state_dict(params, batch_stats, sd)
+    assert set(exported.keys()) == set(sd.keys())
+    for k, tval in sd.items():
+        want = tval.detach().cpu().numpy()
+        np.testing.assert_array_equal(exported[k], want, err_msg=k)
+
+    # and the exported dict actually loads into a fresh torch module with
+    # identical eval-mode forward numerics
+    fresh = TPoseNet(nstack=2, inp_dim=32, oup_dim=50, increase=16,
+                     reduction=8)
+    fresh.load_state_dict({k: torch.from_numpy(np.array(v))
+                           for k, v in exported.items()})
+    fresh.eval()
+    x = torch.from_numpy(
+        np.random.RandomState(3).rand(1, 64, 64, 3).astype(np.float32))
+    with torch.no_grad():
+        a = tmodel(x)
+        b = fresh(x)
+    for t in range(2):
+        for s in range(5):
+            np.testing.assert_array_equal(a[t][s].numpy(), b[t][s].numpy())

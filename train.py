@@ -80,6 +80,12 @@ def main():
                              "only (indices, affines, joints) — KILOBYTES; "
                              "gather + augmentation warp + GT rasterization "
                              "all run in-graph (data/resident.py)")
+    parser.add_argument("--resident-shard-store", action="store_true",
+                        help="with --feed resident: shard the store's record "
+                             "ranges over the mesh's data axis instead of "
+                             "replicating it (pod scale — datasets beyond "
+                             "one chip's HBM; each batch element gathers "
+                             "from the shard it lands on, collective-free)")
     parser.add_argument("--resident-augment", action="store_true",
                         help="with --feed resident: apply the geometric "
                              "augmentation on device even for the synthetic "
@@ -194,12 +200,21 @@ def main():
     if resident:
         # the dataset lives in HBM: build the fixed-canvas store once,
         # replicate it over the mesh, and generate per-step plans on host
-        from jax.sharding import NamedSharding, PartitionSpec
-
         from improved_body_parts_tpu.data import resident as resident_lib
         t0 = time.time()
-        store_h = resident_lib.build_store(train_ds)
-        store = store_h.device_arrays(NamedSharding(mesh, PartitionSpec()))
+        n_data = mesh.shape[mesh_lib.DATA_AXIS]
+        store_shards = n_data if args.resident_shard_store else 1
+        indices = None
+        if store_shards > 1 and len(train_ds) % store_shards:
+            # contiguous record ranges must divide evenly over the data axis
+            keep = len(train_ds) - len(train_ds) % store_shards
+            print(f"sharded store: trimming {len(train_ds) - keep} records "
+                  f"to divide over {store_shards} data shards")
+            indices = np.arange(keep)
+        store_h = resident_lib.build_store(train_ds, indices=indices)
+        store_sh = (mesh_lib.batch_sharding(mesh) if store_shards > 1
+                    else mesh_lib.replicated(mesh))
+        store = store_h.device_arrays(store_sh)
         feed_r = resident_lib.ResidentFeed(
             store_h, dataclasses.replace(config, width=image_size,
                                          height=image_size),
@@ -223,10 +238,13 @@ def main():
     if resident:
         make_res = (train_lib.make_multi_resident_train_step if kd > 1
                     else train_lib.make_resident_train_step)
+        res_mesh = mesh if store_shards > 1 else None
         train_step = make_res(model, step_config,
-                              use_focal=args.loss == "focal")
+                              use_focal=args.loss == "focal",
+                              store_mesh=res_mesh)
         swa_step = (make_res(model, step_config,
-                             use_focal=args.loss == "focal", freeze_bn=True)
+                             use_focal=args.loss == "focal", freeze_bn=True,
+                             store_mesh=res_mesh)
                     if args.swa else None)
     else:
         make_step = (train_lib.make_multi_train_step if kd > 1
@@ -274,7 +292,8 @@ def main():
             # per-step payload: (idx, inv_m, joints) — a few KB; the store
             # is already in HBM and passes by handle
             plans = feed_r.plan_batches(global_batch, steps, seed=epoch,
-                                        rank=rank, world=world)
+                                        rank=rank, world=world,
+                                        store_shards=store_shards)
             if kd > 1:
                 # K scan steps per dispatch: with KB-sized plans this
                 # divides the per-dispatch RPC overhead by K at ~zero
