@@ -89,6 +89,9 @@ def main():
     ap.add_argument("--synthetic-frames", action="store_true",
                     help="bench on rendered multi-person scenes instead of "
                          "noise (pairs with --checkpoint)")
+    ap.add_argument("--quantize", default="", choices=["", "int8"],
+                    help="int8 PTQ forward (models/quantize.py); the "
+                         "driver headline stays bf16 — this is the A/B arm")
     args = ap.parse_args()
 
     config = get_config("Canonical")
@@ -100,6 +103,14 @@ def main():
     else:
         params, batch_stats = init_model(model, jax.random.PRNGKey(0), 512, 512)
         variables = {"params": params, "batch_stats": batch_stats}
+    if args.quantize:
+        from improved_body_parts_tpu.data.synthetic import SyntheticDataset
+        from improved_body_parts_tpu.models import quantize as qz
+        cds = SyntheticDataset(config, length=8, seed=1234, image_size=512)
+        calib = [np.stack([cds[i][0] for i in range(b * 4, b * 4 + 4)])
+                 for b in range(2)]
+        model, variables = qz.quantize_model(config.model, variables, calib)
+        sys.stderr.write("int8 PTQ applied\n")
     predictor = Predictor(model, variables, config)
 
     rng = np.random.RandomState(0)

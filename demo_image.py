@@ -26,7 +26,8 @@ from improved_body_parts_tpu.utils.compile_cache import enable_compilation_cache
 enable_compilation_cache()
 
 
-def build_predictor(checkpoint: str, config_name: str, refine: str):
+def build_predictor(checkpoint: str, config_name: str, refine: str,
+                    quantize: str = ""):
     import jax
     import jax.numpy as jnp
 
@@ -47,6 +48,21 @@ def build_predictor(checkpoint: str, config_name: str, refine: str):
         params, batch_stats = init_model(model, jax.random.PRNGKey(0),
                                          config.height, config.width)
         variables = {"params": params, "batch_stats": batch_stats}
+    if quantize:
+        assert quantize == "int8", quantize
+        import time as _time
+        from improved_body_parts_tpu.data.synthetic import SyntheticDataset
+        from improved_body_parts_tpu.models import quantize as qz
+        t0 = _time.time()
+        # calibrate on rendered multi-person scenes at the serving resolution
+        # (per-tensor activation scales; see models/quantize.py)
+        calib_ds = SyntheticDataset(config, length=8, seed=1234)
+        calib = [np.stack([calib_ds[i][0] for i in range(b * 4, b * 4 + 4)])
+                 for b in range(2)]
+        model, variables = qz.quantize_model(config.model, variables, calib,
+                                             dtype=jnp.bfloat16)
+        print(f"int8 PTQ: folded BN + calibrated on "
+              f"{sum(len(b) for b in calib)} scenes in {_time.time()-t0:.1f}s")
     return Predictor(model, variables, config, refine=refine)
 
 
@@ -110,6 +126,8 @@ def main():
                         help="multi-scale TTA factors, e.g. 0.5 1 1.5 2")
     parser.add_argument("--rotation-search", type=float, nargs="*", default=[0.0],
                         help="rotation TTA angles in degrees")
+    parser.add_argument("--quantize", default="", choices=["", "int8"],
+                        help="int8 PTQ forward (models/quantize.py)")
     parser.add_argument("--synthetic", action="store_true",
                         help="run post-processing on a synthetic scene (no weights needed)")
     parser.add_argument("--ellipse", action="store_true",
@@ -132,7 +150,8 @@ def main():
         print(f"cannot read image: {args.image}")
         return 1
 
-    predictor = build_predictor(args.checkpoint, args.config, args.refine)
+    predictor = build_predictor(args.checkpoint, args.config, args.refine,
+                                quantize=args.quantize)
     t0 = time.time()
     kps, scores, aux = predictor.predict_skeletons(
         img, use_cpp=True if args.run_cpp else None,

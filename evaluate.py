@@ -102,6 +102,11 @@ def main():
                              "dispatches (serving-rate throughput instead of "
                              "single-image latency)")
     parser.add_argument("--pipeline-batch", type=int, default=8)
+    parser.add_argument("--quantize", default="", choices=["", "int8"],
+                        help="post-training int8 quantization of the "
+                             "forward (models/quantize.py): BN folded, "
+                             "per-channel weight scales, calibrated "
+                             "activation scales — 2x MXU rate on v5e")
     args = parser.parse_args()
     if args.pipeline and (not args.letterbox or args.scale_search):
         parser.error("--pipeline requires --letterbox and no --scale-search")
@@ -109,7 +114,8 @@ def main():
     import cv2
 
     from demo_image import build_predictor
-    predictor = build_predictor(args.checkpoint, args.config, "bicubic")
+    predictor = build_predictor(args.checkpoint, args.config, "bicubic",
+                                quantize=args.quantize)
     if args.boxsize:
         import dataclasses
         predictor.config = dataclasses.replace(

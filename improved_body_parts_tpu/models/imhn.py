@@ -52,6 +52,15 @@ class ConvBlock(nn.Module):
     """conv -> [BN] -> [LeakyReLU]; bias only when BN is off.
 
     reference: models/layers_transposed.py:90-157 (``Conv``/``DilatedConv``).
+
+    ``quant`` selects the post-training-quantization inference modes
+    (models/quantize.py; BN must already be folded into the conv):
+      * ``"calib"``: fp forward on the folded weights, sowing the input
+        abs-max into the ``quant_calib`` collection (activation-scale
+        calibration pass).
+      * ``"int8"``: s8 x s8 -> s32 conv on the MXU (per-output-channel
+        weight scales, per-tensor activation scale), dequantize + bias in
+        fp32. TPU v5e runs int8 matmul/conv at 2x the bf16 MXU rate.
     """
     features: int
     kernel: int = 3
@@ -61,23 +70,51 @@ class ConvBlock(nn.Module):
     dilation: int = 1
     dtype: Any = jnp.bfloat16
     axis_name: Optional[str] = None
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = self.dilation * (self.kernel - 1) // 2
+        if self.quant == "int8":
+            kshape = (self.kernel, self.kernel, x.shape[-1], self.features)
+            kernel_q = self.param("kernel_q", nn.initializers.zeros, kshape,
+                                  jnp.int8)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            w_scale = self.param("w_scale", nn.initializers.ones,
+                                 (self.features,), jnp.float32)
+            a_scale = self.param("a_scale", nn.initializers.ones,
+                                 (), jnp.float32)
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
+                          -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, kernel_q,
+                window_strides=(self.stride, self.stride),
+                padding=[(pad, pad), (pad, pad)],
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            x = (y.astype(jnp.float32) * (a_scale * w_scale)
+                 + bias).astype(self.dtype)
+            return leaky_relu(x) if self.relu else x
+        if self.quant == "calib":
+            self.sow("quant_calib", "absmax",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     init_fn=lambda: jnp.zeros(()), reduce_fn=jnp.maximum)
         x = nn.Conv(
             self.features,
             kernel_size=(self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=[(pad, pad), (pad, pad)],
             kernel_dilation=(self.dilation, self.dilation),
-            use_bias=not self.bn,
+            # quant modes run on BN-folded weights: bias carries the BN shift
+            use_bias=(not self.bn) or self.quant is not None,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=conv_init,
             name="conv",
         )(x)
-        if self.bn:
+        if self.bn and self.quant is None:
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,            # torch momentum 0.1 == flax decay 0.9
@@ -101,11 +138,12 @@ class Residual(nn.Module):
     relu: bool = True
     dtype: Any = jnp.bfloat16
     axis_name: Optional[str] = None
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         mid = self.features // 2
-        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name, quant=self.quant)
         h = ConvBlock(mid, kernel=1, name="conv1", **kw)(x, train)
         h = ConvBlock(mid, kernel=3, name="conv2", **kw)(h, train)
         h = ConvBlock(self.features, kernel=1, relu=False, name="conv3", **kw)(h, train)
@@ -154,10 +192,11 @@ class Backbone(nn.Module):
     out_dim: int = 256
     dtype: Any = jnp.bfloat16
     axis_name: Optional[str] = None
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name, quant=self.quant)
         half = self.out_dim // 2
         x = ConvBlock(self.out_dim // 4, kernel=7, stride=2, name="conv1", **kw)(x, train)
         x = Residual(half, name="res1", **kw)(x, train)
@@ -180,10 +219,11 @@ class Hourglass(nn.Module):
     increase: int = 128
     dtype: Any = jnp.bfloat16
     axis_name: Optional[str] = None
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name, quant=self.quant)
         down_feats: List[jnp.ndarray] = []
 
         def level(d: int, h: jnp.ndarray) -> jnp.ndarray:
@@ -213,11 +253,12 @@ class Features(nn.Module):
     se_reduction: int = 16
     dtype: Any = jnp.bfloat16
     axis_name: Optional[str] = None
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, fms: Sequence[jnp.ndarray], train: bool = False):
         assert len(fms) == 5
-        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name, quant=self.quant)
         outs = []
         for s, f in enumerate(fms):
             h = ConvBlock(self.inp_dim, kernel=3, name=f"s{s}_conv1", **kw)(f, train)
@@ -235,11 +276,12 @@ class PoseNet(nn.Module):
     cfg: ModelConfig = ModelConfig()
     dtype: Any = jnp.bfloat16
     axis_name: Optional[str] = None
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, imgs: jnp.ndarray, train: bool = False):
         cfg = self.cfg
-        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name, quant=self.quant)
         # rematerialize each hourglass in the backward pass to fit larger
         # batches in HBM (jax.checkpoint; TPU memory/FLOPs trade).
         # MEASURED round 2: extending remat to Backbone+Features as well
@@ -267,7 +309,8 @@ class PoseNet(nn.Module):
             stack_preds: List[jnp.ndarray] = []
             for s in range(cfg.num_scales):
                 pred = ConvBlock(cfg.oup_dim, kernel=1, bn=False, relu=False,
-                                 dtype=self.dtype, name=f"out{t}_s{s}")(feats[s], train)
+                                 dtype=self.dtype, quant=self.quant,
+                                 name=f"out{t}_s{s}")(feats[s], train)
                 stack_preds.append(pred)
                 if cfg.cross_stack and t != cfg.nstack - 1:
                     c = cfg.inp_dim + s * cfg.increase
@@ -372,10 +415,12 @@ class IndependentPoseNet(nn.Module):
 
 
 def create_model(cfg: ModelConfig = ModelConfig(), dtype: Any = jnp.bfloat16,
-                 axis_name: Optional[str] = None) -> nn.Module:
+                 axis_name: Optional[str] = None,
+                 quant: Optional[str] = None) -> nn.Module:
     if cfg.legacy_blocks:
+        assert quant is None, "quantization supports the live PoseNet only"
         return IndependentPoseNet(cfg=cfg, dtype=dtype, axis_name=axis_name)
-    return PoseNet(cfg=cfg, dtype=dtype, axis_name=axis_name)
+    return PoseNet(cfg=cfg, dtype=dtype, axis_name=axis_name, quant=quant)
 
 
 def init_model(model: PoseNet, rng: jax.Array, height: int = 512, width: int = 512):

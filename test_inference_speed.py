@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--image-size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--config", default="Canonical")
+    ap.add_argument("--quantize", default="", choices=["", "int8"],
+                    help="int8 PTQ forward (models/quantize.py)")
     args = ap.parse_args()
 
     import jax
@@ -43,6 +45,13 @@ def main():
     params, bs = init_model(model, jax.random.PRNGKey(0),
                             args.image_size, args.image_size)
     variables = {"params": params, "batch_stats": bs}
+    if args.quantize:
+        from improved_body_parts_tpu.models import quantize as qz
+        calib = [np.random.RandomState(1).rand(
+            2, args.image_size, args.image_size, 3).astype(np.float32)]
+        model, variables = qz.quantize_model(config.model, variables, calib,
+                                             dtype=jnp.bfloat16)
+        print("int8 PTQ applied")
 
     @jax.jit
     def fwd(variables, imgs):
