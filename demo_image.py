@@ -38,6 +38,15 @@ def build_predictor(checkpoint: str, config_name: str, refine: str,
     config = get_config(config_name)
     model = create_model(config.model, dtype=jnp.bfloat16)
 
+    if quantize and checkpoint:
+        # an int8 export (models/quantize.save_quantized) loads directly —
+        # no fp weights, no calibration pass
+        from improved_body_parts_tpu.models import quantize as qz
+        if qz.is_quantized_checkpoint(checkpoint):
+            model, variables = qz.load_quantized(config.model, checkpoint)
+            print(f"loaded int8 quantized checkpoint: {checkpoint}")
+            return Predictor(model, variables, config, refine=refine)
+
     if checkpoint and os.path.exists(checkpoint):
         from improved_body_parts_tpu.utils.checkpoint import load_for_inference
         variables = load_for_inference(checkpoint, model)

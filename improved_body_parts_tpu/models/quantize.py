@@ -151,3 +151,44 @@ def quantize_model(cfg: ModelConfig, variables,
     qparams = build_quantized(folded, stats)
     qmodel = create_model(cfg, dtype=dtype, quant="int8")
     return qmodel, {"params": qparams}
+
+
+# ---------------------------------------------------------------------------
+# quantized serving checkpoints: the int8 export is ~4x smaller than the
+# fp32 train state (129M params: ~516 MB -> ~130 MB) and loads without
+# calibration data — the production cold-start artifact
+# ---------------------------------------------------------------------------
+
+def save_quantized(ckpt_dir: str, qvariables) -> None:
+    """Persist an int8-quantized param tree (orbax, single step 0)."""
+    from improved_body_parts_tpu.utils import checkpoint as ck
+    ck.save_train_state(ckpt_dir, {"qparams": _as_dict(qvariables["params"])},
+                        step=0, keep=1)
+
+
+def load_quantized(cfg: ModelConfig, ckpt_dir: str,
+                   dtype: Any = jnp.bfloat16) -> Tuple[Any, Dict[str, Any]]:
+    """Load a ``save_quantized`` export -> (int8 model, variables)."""
+    from improved_body_parts_tpu.utils import checkpoint as ck
+    restored = ck.restore_train_state(ckpt_dir)
+    qmodel = create_model(cfg, dtype=dtype, quant="int8")
+    return qmodel, {"params": restored["qparams"]}
+
+
+def is_quantized_checkpoint(path: str) -> bool:
+    """True if ``path`` is an orbax dir written by ``save_quantized``."""
+    import os
+    if not os.path.isdir(path):
+        return False
+    try:
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(path)
+        with ocp.CheckpointManager(path) as mgr:
+            step = mgr.latest_step()
+        if step is None:
+            return False
+        ck_ = ocp.PyTreeCheckpointer()
+        meta = ck_.metadata(os.path.join(path, str(step), "default"))
+        return "qparams" in set(meta.item_metadata.tree.keys())
+    except Exception:
+        return False

@@ -139,6 +139,29 @@ def test_quantized_predictor_end_to_end(fp32_setup):
     assert len(scores) == len(kps)
 
 
+def test_quantized_checkpoint_roundtrip(fp32_setup, tmp_path):
+    """save_quantized -> load_quantized restores bit-identical int8 params
+    and a model producing the exact same outputs; is_quantized_checkpoint
+    distinguishes exports from fp train states."""
+    _, params, batch_stats, imgs, _ = fp32_setup
+    qmodel, qvars = qz.quantize_model(TINY, {"params": params,
+                                             "batch_stats": batch_stats},
+                                      [np.asarray(imgs)], dtype=jnp.float32)
+    ckpt = str(tmp_path / "int8")
+    qz.save_quantized(ckpt, qvars)
+    assert qz.is_quantized_checkpoint(ckpt)
+    assert not qz.is_quantized_checkpoint(str(tmp_path))
+    model2, qvars2 = qz.load_quantized(TINY, ckpt, dtype=jnp.float32)
+    for (p1, l1), (p2, l2) in zip(
+            jax.tree_util.tree_leaves_with_path(qvars["params"]),
+            jax.tree_util.tree_leaves_with_path(qvars2["params"])):
+        assert p1 == p2
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    a = np.asarray(qmodel.apply(qvars, imgs, train=False)[-1][0])
+    b = np.asarray(model2.apply(qvars2, imgs, train=False)[-1][0])
+    np.testing.assert_array_equal(a, b)
+
+
 def test_int8_jits_and_is_deterministic(fp32_setup):
     _, params, batch_stats, imgs, _ = fp32_setup
     qmodel, qvars = qz.quantize_model(TINY, {"params": params,

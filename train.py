@@ -40,6 +40,11 @@ def main():
                         help="override input resolution (debug)")
     parser.add_argument("--train-h5", default="", help="COCO train hdf5 (reference format)")
     parser.add_argument("--val-h5", default="", help="COCO val hdf5")
+    parser.add_argument("--synthetic-length", type=int, default=512,
+                        help="records in the synthetic fallback dataset "
+                             "(no --train-h5); larger = more scene "
+                             "diversity — with --feed resident the store "
+                             "scales to HBM (~0.8 MB/record at 512^2)")
     parser.add_argument("--swa", action="store_true", help="stochastic weight averaging")
     parser.add_argument("--swa-start-epoch", type=int, default=0)
     parser.add_argument("--swa-freq", type=int, default=0,
@@ -191,7 +196,8 @@ def main():
     else:
         from improved_body_parts_tpu.data.synthetic import SyntheticDataset
         print("no --train-h5 given: using the synthetic dataset")
-        train_ds = SyntheticDataset(config, length=512, image_size=image_size)
+        train_ds = SyntheticDataset(config, length=args.synthetic_length,
+                                    image_size=image_size)
         val_ds = SyntheticDataset(config, length=64, seed=999,
                                   image_size=image_size)
 
