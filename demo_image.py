@@ -47,7 +47,9 @@ def build_predictor(checkpoint: str, config_name: str, refine: str,
             print(f"loaded int8 quantized checkpoint: {checkpoint}")
             return Predictor(model, variables, config, refine=refine)
 
-    if checkpoint and os.path.exists(checkpoint):
+    if checkpoint and os.path.exists(checkpoint.rpartition("@")[0]
+                                     if "@" in os.path.basename(checkpoint)
+                                     else checkpoint):
         from improved_body_parts_tpu.utils.checkpoint import load_for_inference
         variables = load_for_inference(checkpoint, model)
         print(f"loaded checkpoint: {checkpoint}")

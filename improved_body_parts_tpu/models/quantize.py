@@ -19,9 +19,11 @@ Recipe (standard PTQ, all offline):
      and dequantizes + biases in fp32. Squeeze-excitation Dense layers
      (<0.1% of FLOPs) stay bf16.
 
-Accuracy is validated end-to-end via the synthetic-AP loop
-(tools/make_synthetic_coco.py + utils/oks_eval.py) — see NOTES.md for the
-measured bf16-vs-int8 AP delta.
+Accuracy: the int8 forward is parity-bounded against the BN-folded fp
+forward (tests/test_quantize.py, corr > 0.98 / max error < 15% of fp span,
+same check under a mesh layout in __graft_entry__.dryrun_multichip). The
+measured bf16-vs-int8 synthetic-AP delta and FPS delta on hardware are
+recorded in NOTES.md (round 4).
 """
 
 from __future__ import annotations

@@ -348,6 +348,11 @@ def restore_train_state(ckpt_dir: str, step: int | None = None,
     unchanged, and checkpoint-only entries come back as plain trees.
     """
     import orbax.checkpoint as ocp
+    # "DIR@N" selects epoch/step N inside the manager dir (the per-epoch
+    # checkpoints train.py keeps) — used for AP-vs-epoch curves
+    if step is None and "@" in os.path.basename(ckpt_dir):
+        ckpt_dir, _, s = ckpt_dir.rpartition("@")
+        step = int(s)
     ckpt_dir = os.path.abspath(ckpt_dir)
     with ocp.CheckpointManager(ckpt_dir) as mgr:
         if step is None:

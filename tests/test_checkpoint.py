@@ -147,6 +147,22 @@ def test_orbax_roundtrip(tmp_path):
     assert int(restored["epoch"]) == 7
 
 
+def test_at_step_suffix_selects_epoch(tmp_path):
+    """'DIR@N' addresses epoch/step N among the kept per-epoch checkpoints
+    (used by the AP-vs-epoch curve evals)."""
+    for step in (3, 5):
+        ckpt.save_train_state(
+            str(tmp_path / "ckpt"),
+            {"params": {"w": jnp.full((2,), float(step))}, "epoch": step},
+            step=step, keep=5)
+    r3 = ckpt.restore_train_state(str(tmp_path / "ckpt") + "@3")
+    assert int(r3["epoch"]) == 3
+    np.testing.assert_array_equal(np.asarray(r3["params"]["w"]),
+                                  np.full((2,), 3.0))
+    latest = ckpt.restore_train_state(str(tmp_path / "ckpt"))
+    assert int(latest["epoch"]) == 5
+
+
 def test_numpy_fallback_restore(tmp_path):
     """The backend-agnostic raw restore (used when a checkpoint written on
     one backend is opened on another, e.g. TPU ckpt on a CPU box) returns

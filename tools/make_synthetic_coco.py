@@ -34,7 +34,7 @@ def cmu_to_coco_gt(joints: np.ndarray) -> np.ndarray:
     return out
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--n-images", type=int, default=64)
@@ -43,7 +43,7 @@ def main():
                     help="held-out seed family (training uses seed*100003+i "
                          "streams; pick a seed unused by training)")
     ap.add_argument("--max-people", type=int, default=3)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import cv2
 

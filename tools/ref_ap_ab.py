@@ -52,7 +52,7 @@ def _import_reference():
     sys.modules.setdefault("torchvision.models.densenet", tvm.densenet)
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--checkpoint", "-p", required=True,
                     help="orbax train-state dir (a checkpoint trained here)")
@@ -64,7 +64,12 @@ def main():
     ap.add_argument("--max-images", type=int, default=-1)
     ap.add_argument("--dump-name", default="reference_ab")
     ap.add_argument("--thre1", type=float, default=0.1)
-    args = ap.parse_args()
+    ap.add_argument("--nstack", type=int, default=0,
+                    help="override config nstack (tiny-model testing)")
+    ap.add_argument("--inp-dim", type=int, default=0)
+    ap.add_argument("--increase", type=int, default=0)
+    ap.add_argument("--results-dir", default="results")
+    args = ap.parse_args(argv)
 
     from improved_body_parts_tpu.configs import get_config
     from improved_body_parts_tpu.ops import group
@@ -85,7 +90,12 @@ def main():
     import utils.parse_skeletons as rps
     from models.posenet import PoseNet
 
+    import dataclasses
     m = config.model
+    if args.nstack or args.inp_dim or args.increase:
+        m = dataclasses.replace(m, nstack=args.nstack or m.nstack,
+                                inp_dim=args.inp_dim or m.inp_dim,
+                                increase=args.increase or m.increase)
     net = PoseNet(m.nstack, m.inp_dim, m.oup_dim, bn=True,
                   increase=m.increase)
     sd = net.state_dict()
@@ -150,7 +160,8 @@ def main():
     finally:
         torch.Tensor.cuda = orig_cuda
 
-    results_file = f"results/{args.dump_name}_results.json"
+    results_file = os.path.join(args.results_dir,
+                                f"{args.dump_name}_results.json")
     os.makedirs(os.path.dirname(results_file), exist_ok=True)
     with open(results_file, "w") as f:
         json.dump(all_outputs, f)

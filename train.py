@@ -100,6 +100,10 @@ def main():
     parser.add_argument("--max-people", type=int, default=8,
                         help="people-slot padding for --feed compact")
     parser.add_argument("--max_grad_norm", type=float, default=0.0)
+    parser.add_argument("--keep", type=int, default=3,
+                        help="epoch checkpoints to retain (orbax "
+                             "max_to_keep); raise to keep every epoch for "
+                             "an AP-vs-epoch curve")
     parser.add_argument("--print-freq", type=int, default=20)
     parser.add_argument("--tiny-model", action="store_true",
                         help="small IMHN for smoke tests")
@@ -412,7 +416,8 @@ def main():
         if args.swa and state.swa_params is not None:
             ckpt_payload["swa_params"] = state.swa_params
             ckpt_payload["swa_count"] = int(state.swa_count)
-        ckpt_lib.save_train_state(ckpt_dir, ckpt_payload, step=epoch)
+        ckpt_lib.save_train_state(ckpt_dir, ckpt_payload, step=epoch,
+                                  keep=args.keep)
 
     if args.swa and int(state.swa_count) > 0:
         # publish the averaged model (reference swap_swa_sgd before the final
