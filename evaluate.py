@@ -102,19 +102,31 @@ def main():
                              "dispatches (serving-rate throughput instead of "
                              "single-image latency)")
     parser.add_argument("--pipeline-batch", type=int, default=8)
+    parser.add_argument("--refine", default="bicubic",
+                        choices=["bicubic", "centroid", "none"],
+                        help="peak sub-pixel refinement scheme (bicubic = "
+                             "reference-exact; centroid = legacy "
+                             "original-path alternative, ops/peaks.py)")
+    parser.add_argument("--rotation-search", type=float, nargs="*",
+                        default=None, metavar="DEG",
+                        help="rotation TTA angles (reference INI "
+                             "rotation_search; fused into the same device "
+                             "program as --scale-search)")
     parser.add_argument("--quantize", default="", choices=["", "int8"],
                         help="post-training int8 quantization of the "
                              "forward (models/quantize.py): BN folded, "
                              "per-channel weight scales, calibrated "
                              "activation scales — 2x MXU rate on v5e")
     args = parser.parse_args()
-    if args.pipeline and (not args.letterbox or args.scale_search):
-        parser.error("--pipeline requires --letterbox and no --scale-search")
+    if args.pipeline and (not args.letterbox or args.scale_search
+                          or args.rotation_search):
+        parser.error("--pipeline requires --letterbox and no "
+                     "--scale-search/--rotation-search")
 
     import cv2
 
     from demo_image import build_predictor
-    predictor = build_predictor(args.checkpoint, args.config, "bicubic",
+    predictor = build_predictor(args.checkpoint, args.config, args.refine,
                                 quantize=args.quantize)
     if args.boxsize:
         import dataclasses
@@ -231,7 +243,9 @@ def main():
                     for s in args.scale_search}))
         kps, scores, _ = predictor.predict_skeletons(
             img, use_cpp=True if args.run_cpp else None,
-            scales=scales, fixed_size=args.letterbox)
+            scales=scales, fixed_size=args.letterbox,
+            angles=tuple(args.rotation_search) if args.rotation_search
+            else (0.0,))
         meter.update(time.time() - t0)
         append_result(image_id, kps, scores, all_outputs)
         if args.show_eval_speed and n % 50 == 0:

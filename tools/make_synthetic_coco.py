@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--n-images", type=int, default=64)
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--sizes", type=int, nargs="*", default=None,
+                    help="cycle these image sizes per scene (variable-size "
+                         "set: exercises per-image scale factors, e.g. the "
+                         "--scale-quant deviation A/B)")
     ap.add_argument("--seed", type=int, default=777,
                     help="held-out seed family (training uses seed*100003+i "
                          "streams; pick a seed unused by training)")
@@ -57,7 +61,7 @@ def main(argv=None):
     ann_id = 1
     for i in range(args.n_images):
         rng = np.random.RandomState(args.seed * 100003 + i)
-        H = W = args.size
+        H = W = args.sizes[i % len(args.sizes)] if args.sizes else args.size
         joints = random_people(rng, H, W, max_people=args.max_people)
         img = render_image(joints, H, W, rng)
         name = f"synthetic_{i:06d}.png"
