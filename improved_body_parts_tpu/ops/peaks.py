@@ -384,9 +384,18 @@ def find_peaks(heat: jnp.ndarray, *, thre: float = 0.1, max_peaks: int = 32,
         def refine_fn(map2d, y, x):
             return _refine_bicubic(map2d, y, x, stride, cubic_a=cubic_a,
                                    up=refine_upsample)
-    else:
+    elif refine == "centroid":
         def refine_fn(map2d, y, x):
             return _refine_centroid(map2d, y, x, stride, cubic_a=cubic_a)
+    elif refine == "none":
+        # no sub-pixel refinement: the raw NMS cell mapped to image pixels
+        # (cell top-left, the coordinate the reference would use before its
+        # upsample-argmax step, parse_skeletons.py:149-153)
+        def refine_fn(map2d, y, x):
+            return (x.astype(jnp.float32) * stride,
+                    y.astype(jnp.float32) * stride, map2d[y, x])
+    else:
+        raise ValueError(f"unknown refine scheme: {refine!r}")
 
     def per_channel(map2d, cys, cxs):
         return jax.vmap(lambda y, x: refine_fn(map2d, y, x))(cys, cxs)

@@ -84,7 +84,7 @@ def test_heatmap_nms_keeps_only_local_maxima():
     assert out[0, 0] == 0.0
 
 
-@pytest.mark.parametrize("refine", ["bicubic", "centroid"])
+@pytest.mark.parametrize("refine", ["bicubic", "centroid", "none"])
 def test_find_peaks_locates_gaussians(refine):
     H = W = 32
     heat = np.zeros((H, W, NUM_PARTS), np.float32)
@@ -103,6 +103,27 @@ def test_find_peaks_locates_gaussians(refine):
         assert abs(x - ex) < 4.0 and abs(y - ey) < 4.0, (j, (x, y), (ex, ey))
     # channels without blobs have no valid peaks
     assert valid[1].sum() == 0
+
+
+def test_find_peaks_rejects_unknown_refine():
+    heat = jnp.zeros((8, 8, NUM_PARTS), jnp.float32)
+    with pytest.raises(ValueError, match="unknown refine"):
+        find_peaks(heat, thre=0.1, max_peaks=4, stride=4, refine="cubic")
+
+
+def test_find_peaks_none_returns_cell_coords():
+    """refine='none' must be the RAW NMS cell (top-left pixel) with the raw
+    cell score — previously any non-bicubic scheme silently fell through to
+    centroid, making --refine none an alias of --refine centroid."""
+    H = W = 32
+    heat = np.zeros((H, W, NUM_PARTS), np.float32)
+    heat[:, :, 2] = gaussian_blob((H, W), 10.3, 12.7, sigma=1.5)
+    pk = find_peaks(jnp.asarray(heat), thre=0.1, max_peaks=8, stride=4,
+                    refine="none")
+    xy = np.asarray(pk.xy)[2, 0]
+    cy, cx = np.asarray(pk.grid_yx)[2, 0]
+    assert xy[0] == cx * 4 and xy[1] == cy * 4
+    assert np.asarray(pk.score)[2, 0] == pytest.approx(heat[cy, cx, 2])
 
 
 def test_find_peaks_reports_topk_saturation():
