@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--config", default="Canonical")
     ap.add_argument("--quantize", default="", choices=["", "int8"],
                     help="int8 PTQ forward (models/quantize.py)")
+    ap.add_argument("--mfu", action="store_true",
+                    help="also report compiler-counted FLOPs/frame and "
+                         "model FLOPs utilization vs the v5e peak")
     args = ap.parse_args()
 
     import jax
@@ -72,6 +75,19 @@ def main():
     print(f"network-only: {fps:.1f} FPS (batch {args.batch_size}, "
           f"{args.image_size}x{args.image_size}, {dt/args.iters*1e3:.1f} ms/step, "
           f"platform {jax.devices()[0].platform})")
+
+    if args.mfu:
+        from improved_body_parts_tpu.utils.profiling import flops_of
+        flops = flops_of(fwd, variables, imgs)
+        if flops:
+            # v5e peaks: 197 TFLOP/s bf16, 394 TOP/s int8 (the int8 path
+            # still runs its dequant/SE tail in bf16, so report vs both)
+            eff = flops * args.iters / dt
+            print(f"forward: {flops / args.batch_size / 1e9:.1f} GFLOP/frame, "
+                  f"{eff / 1e12:.1f} TFLOP/s effective, "
+                  f"MFU {eff / 197e12 * 100:.1f}% of bf16 peak"
+                  + (f" / {eff / 394e12 * 100:.1f}% of int8 peak"
+                     if args.quantize else ""))
 
 
 if __name__ == "__main__":
