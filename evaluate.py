@@ -118,10 +118,8 @@ def main():
                              "per-channel weight scales, calibrated "
                              "activation scales — 2x MXU rate on v5e")
     args = parser.parse_args()
-    if args.pipeline and (not args.letterbox or args.scale_search
-                          or args.rotation_search):
-        parser.error("--pipeline requires --letterbox and no "
-                     "--scale-search/--rotation-search")
+    if args.pipeline and not args.letterbox:
+        parser.error("--pipeline requires --letterbox")
 
     import cv2
 
@@ -195,14 +193,21 @@ def main():
         # DEPTH device dispatches stay in flight (the reference loop is
         # strictly sequential, evaluate.py:262-267)
         from improved_body_parts_tpu.infer.serving import PipelinedServer
+        # letterboxed content height ~= boxsize, so the reference's
+        # per-image multiplier (scale * boxsize / img_h) reduces to the
+        # scale itself — TTA variants fuse into the batched device program
+        pipe_scales = tuple(args.scale_search) if args.scale_search else None
+        pipe_angles = (tuple(args.rotation_search) if args.rotation_search
+                       else (0.0,))
         serve = PipelinedServer(predictor, batch_size=args.pipeline_batch,
                                 depth=args.pipeline,
-                                use_cpp=True if args.run_cpp else None)
+                                use_cpp=True if args.run_cpp else None,
+                                scales=pipe_scales, angles=pipe_angles)
         # compile the batch program before the clock starts (first XLA
         # compile is minutes over the tunnel and would swamp the FPS meter)
         size = predictor.config.infer.boxsize
         warm = np.zeros((args.pipeline_batch, size, size, 3), np.uint8)
-        predictor.predict_batch(warm)
+        predictor.predict_batch(warm, scales=pipe_scales, angles=pipe_angles)
         t0 = time.time()
         futs = []
         for image_id, path in images:

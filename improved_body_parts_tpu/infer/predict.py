@@ -282,6 +282,78 @@ class Predictor:
         self._compiled[key] = run
         return run
 
+    def _device_fn_batch_tta(self, batch: int, h: int, w: int,
+                             scales: Tuple[float, ...],
+                             angles: Tuple[float, ...], mesh=None):
+        """Batched multi-scale (+rotation) TTA in ONE device program: the
+        whole letterboxed batch is resized/rotated per TTA variant, forwarded
+        with its flip pair, and the stride-4 maps are cropped back and
+        averaged, then vmap-postprocessed — the serving-rate answer to the
+        reference's sequential per-image scale loop
+        (parse_skeletons.py:186-209). Scales are uniform across the batch
+        (letterboxed content height ~= boxsize, so the reference's
+        scale*boxsize/img_h multiplier reduces to the scale itself)."""
+        mesh_key = (None if mesh is None
+                    else tuple(d.id for d in mesh.devices.flat))
+        key = ("batch_tta", batch, h, w, scales, angles, mesh_key)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        from improved_body_parts_tpu.ops.warp import (
+            affine_warp, resize_cubic_cv2, rotation_matrix)
+
+        bucket = self.config.infer.max_downsample
+        pad_val = self.config.infer.pad_value / 255.0
+        stride = self.config.stride
+        base_h4, base_w4 = h // stride, w // stride
+
+        def run(variables, imgs_u8, img_hs, content_hws):
+            imgs = imgs_u8.astype(jnp.float32) / 255.0
+            B = imgs.shape[0]
+            acc = jnp.zeros((B, base_h4, base_w4, NUM_LAYERS), jnp.float32)
+            for s in scales:
+                sh, sw = int(round(h * s)), int(round(w * s))
+                ph = -(-sh // bucket) * bucket
+                pw = -(-sw // bucket) * bucket
+                imgs_s = imgs if s == 1.0 else jax.vmap(
+                    lambda im: resize_cubic_cv2(im, sh, sw))(imgs)
+                imgs_p = jnp.full((B, ph, pw, 3), pad_val, jnp.float32)
+                imgs_p = imgs_p.at[:, :sh, :sw].set(imgs_s)
+                for ang in angles:
+                    if ang != 0.0:
+                        inv = rotation_matrix((pw / 2.0, ph / 2.0), -ang)
+                        x = jax.vmap(lambda im: affine_warp(
+                            im, inv, fill_value=pad_val))(imgs_p)
+                    else:
+                        x = imgs_p
+                    avg = self._flip_avg_maps(variables, x)
+                    if ang != 0.0:
+                        cx_s = (pw / 2.0 + 0.5) / stride - 0.5
+                        cy_s = (ph / 2.0 + 0.5) / stride - 0.5
+                        inv_back = rotation_matrix((cx_s, cy_s), ang)
+                        avg = jax.vmap(lambda m: affine_warp(m, inv_back))(avg)
+                    vh = max(int(round(sh / stride)), 1)
+                    vw = max(int(round(sw / stride)), 1)
+                    valid = avg[:, :vh, :vw, :]
+                    acc = acc + jax.vmap(lambda m: resize_cubic_cv2(
+                        m, base_h4, base_w4))(valid)
+            avgs = acc / float(len(scales) * len(angles))
+            packed, _, _ = jax.vmap(self._postprocess)(avgs, img_hs,
+                                                       content_hws)
+            return packed
+
+        if mesh is None:
+            self._compiled[key] = jax.jit(run)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from improved_body_parts_tpu.parallel.mesh import DATA_AXIS
+            data = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+            repl = NamedSharding(mesh, PartitionSpec())
+            self._compiled[key] = jax.jit(
+                run, in_shardings=(repl, data, data, data),
+                out_shardings=data)
+        return self._compiled[key]
+
     def _device_fn_batch(self, batch: int, h: int, w: int, mesh=None):
         """Batched device program; with ``mesh`` the batch axis is sharded
         over the mesh's data axis (serving scale-out: each chip forwards and
@@ -440,7 +512,8 @@ class Predictor:
     def predict_batch(self, imgs: np.ndarray, img_hs: Optional[np.ndarray] = None,
                       use_cpp: Optional[bool] = None,
                       content_hws: Optional[np.ndarray] = None,
-                      mesh=None):
+                      mesh=None, scales: Optional[Tuple[float, ...]] = None,
+                      angles: Tuple[float, ...] = (0.0,)):
         """Batched path: (B, H, W, 3) uint8, same shape, already letterboxed.
         ``content_hws`` (B, 2) [h, w] per-image valid-content extents (the
         letterbox pad band beyond them is suppressed); default: full canvas.
@@ -448,6 +521,9 @@ class Predictor:
         chip runs forward + device postproc on its slice (embarrassingly
         parallel serving scale-out; batch is padded up to a multiple of the
         device count by repeating the last frame, pad results dropped).
+        ``scales``/``angles`` run multi-scale/rotation TTA fused into the
+        batched program (uniform across the batch — the letterbox canvas
+        makes the reference's per-image multiplier collapse to the scale).
         Returns a list of (keypoints, scores) per image."""
         B, h, w = imgs.shape[:3]
         if img_hs is None:
@@ -466,7 +542,13 @@ class Predictor:
                 imgs = np.repeat(imgs, reps, axis=0)
                 img_hs = np.repeat(img_hs, reps, axis=0)
                 content_hws = np.repeat(content_hws, reps, axis=0)
-        fn = self._device_fn_batch(Bp, h, w, mesh=mesh)
+        scales_t = tuple(scales) if scales is not None else (1.0,)
+        angles_t = tuple(angles)
+        if scales_t != (1.0,) or angles_t != (0.0,):
+            fn = self._device_fn_batch_tta(Bp, h, w, scales_t, angles_t,
+                                           mesh=mesh)
+        else:
+            fn = self._device_fn_batch(Bp, h, w, mesh=mesh)
         variables = (self.variables if mesh is None
                      else self._mesh_variables(mesh))
         packed = fn(variables, jnp.asarray(imgs), jnp.asarray(img_hs),

@@ -36,11 +36,18 @@ class PipelinedServer:
 
     def __init__(self, predictor, batch_size: int = 8, depth: int = 4,
                  flush_ms: float = 5.0, use_cpp: Optional[bool] = None,
-                 max_pending: Optional[int] = None, mesh=None):
+                 max_pending: Optional[int] = None, mesh=None,
+                 scales: Optional[Tuple[float, ...]] = None,
+                 angles: Tuple[float, ...] = (0.0,)):
         self.predictor = predictor
         self.batch_size = batch_size
         self.flush_ms = flush_ms
         self.use_cpp = use_cpp
+        # multi-scale/rotation TTA fused into the batched device program
+        # (Predictor._device_fn_batch_tta) — the serving path's answer to
+        # the reference's sequential scale loop (parse_skeletons.py:186-209)
+        self.scales = tuple(scales) if scales is not None else (1.0,)
+        self.angles = tuple(angles)
         # optional serving scale-out: shard each batch over the mesh's data
         # axis (Predictor.predict_batch(mesh=...)) — every chip forwards and
         # post-processes its slice, no cross-chip collectives
@@ -145,7 +152,8 @@ class PipelinedServer:
         kw = {} if self.mesh is None else {"mesh": self.mesh}
         results = self.predictor.predict_batch(
             np.stack(boxed), img_hs=img_hs, use_cpp=self.use_cpp,
-            content_hws=content_hws, **kw)
+            content_hws=content_hws, scales=self.scales, angles=self.angles,
+            **kw)
         for i, (_, fut) in enumerate(items):
             kps, scores = results[i]
             kps = np.array(kps, copy=True)

@@ -160,3 +160,27 @@ def test_predict_batch(predictor):
     assert kps_b.shape == kps_s.shape
     if len(kps_s):
         np.testing.assert_allclose(kps_b, kps_s, rtol=1e-4, atol=1e-4)
+
+
+def test_batch_tta_matches_single_tta(predictor):
+    """The batched TTA program (serving path, _device_fn_batch_tta) must
+    produce the same packed buffers as the single-image TTA program
+    (_device_fn_tta) — scale resize, rotation warp, crop-back, averaging,
+    and vmapped postprocessing all included."""
+    rng = np.random.RandomState(5)
+    B, h, w = 2, 128, 128
+    imgs = rng.randint(0, 255, (B, h, w, 3), np.uint8)
+    scales, angles = (0.75, 1.0), (0.0, 10.0)
+    fn_b = predictor._device_fn_batch_tta(B, h, w, scales, angles)
+    img_hs = jnp.asarray(np.full((B,), float(h), np.float32))
+    chws = jnp.asarray(np.tile(np.float32([h, w]), (B, 1)))
+    packed_b = np.asarray(fn_b(predictor.variables, jnp.asarray(imgs),
+                               img_hs, chws))
+    fn_s = predictor._device_fn_tta(h, w, scales, angles)
+    for b in range(B):
+        p, _, _ = fn_s(predictor.variables, jnp.asarray(imgs[b]),
+                       jnp.float32(h), jnp.asarray([h, w], np.float32))
+        np.testing.assert_allclose(packed_b[b], np.asarray(p), atol=1e-4)
+    # public API smoke: scales/angles reach the batched program
+    out = predictor.predict_batch(imgs, scales=scales, angles=angles)
+    assert len(out) == B

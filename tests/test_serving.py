@@ -23,7 +23,8 @@ class _StubPredictor:
         out = np.zeros((size, size, 3), np.uint8)
         return out, scale
 
-    def predict_batch(self, imgs, img_hs=None, use_cpp=None, content_hws=None):
+    def predict_batch(self, imgs, img_hs=None, use_cpp=None,
+                      content_hws=None, **kw):
         with self.lock:
             self.calls.append(len(imgs))
         out = []
@@ -70,7 +71,7 @@ def test_backpressure_bounds_queue_under_sustained_overload():
 
     class _SlowStub(_StubPredictor):
         def predict_batch(self, imgs, img_hs=None, use_cpp=None,
-                          content_hws=None):
+                          content_hws=None, **kw):
             time.sleep(0.03)
             return super().predict_batch(imgs, img_hs, use_cpp, content_hws)
 
@@ -98,7 +99,7 @@ def test_close_with_full_queue_does_not_deadlock():
 
     class _SlowStub(_StubPredictor):
         def predict_batch(self, imgs, img_hs=None, use_cpp=None,
-                          content_hws=None):
+                          content_hws=None, **kw):
             time.sleep(0.02)
             return super().predict_batch(imgs, img_hs, use_cpp, content_hws)
 
@@ -153,3 +154,50 @@ def test_serving_equals_sequential_letterbox_real_model():
         assert len(ks) == len(kp)
         np.testing.assert_allclose(ks, kp, atol=1e-4)
         np.testing.assert_allclose(ss, sp, atol=1e-5)
+
+
+def test_serving_tta_equals_sequential_tta_real_model():
+    """``PipelinedServer(scales=..., angles=...)`` (the evaluate.py
+    ``--pipeline --scale-search/--rotation-search`` mode) must reproduce the
+    sequential ``predict_skeletons(fixed_size=True, scales=..., angles=...)``
+    results — the batched TTA program and the single-image TTA program are
+    the same math (Predictor._device_fn_batch_tta vs _device_fn_tta)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from improved_body_parts_tpu.configs import CanonicalConfig, ModelConfig
+    from improved_body_parts_tpu.infer.predict import Predictor
+    from improved_body_parts_tpu.models.imhn import create_model, init_model
+
+    config = CanonicalConfig(width=64, height=64,
+                             model=ModelConfig(nstack=1, inp_dim=24,
+                                               increase=8))
+    config = dataclasses.replace(
+        config, infer=dataclasses.replace(config.infer, boxsize=64, thre1=0.01,
+                                          thre2=0.01, min_person_score=0.0,
+                                          min_person_parts=1))
+    model = create_model(config.model, dtype=jnp.float32)
+    params, bs = init_model(model, jax.random.PRNGKey(2), 64, 64)
+    pred = Predictor(model, {"params": params, "batch_stats": bs}, config)
+
+    rng = np.random.RandomState(11)
+    imgs = [rng.randint(0, 255, (int(rng.randint(40, 90)),
+                                 int(rng.randint(40, 90)), 3), np.uint8)
+            for _ in range(4)]
+    scales, angles = (0.75, 1.0), (0.0, 10.0)
+
+    seq = [pred.predict_skeletons(im, fixed_size=True, scales=scales,
+                                  angles=angles)[:2] for im in imgs]
+
+    serve = PipelinedServer(pred, batch_size=2, depth=2, flush_ms=20.0,
+                            scales=scales, angles=angles)
+    pipe = serve.predict_many(imgs)
+    serve.close()
+
+    for (ks, ss), (kp, sp) in zip(seq, pipe):
+        assert len(ks) == len(kp)
+        if len(ks):
+            np.testing.assert_allclose(ks, kp, atol=1e-4)
+            np.testing.assert_allclose(ss, sp, atol=1e-5)
