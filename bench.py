@@ -92,6 +92,10 @@ def main():
     ap.add_argument("--quantize", default="", choices=["", "int8"],
                     help="int8 PTQ forward (models/quantize.py); the "
                          "driver headline stays bf16 — this is the A/B arm")
+    ap.add_argument("--fused-peaks", action="store_true",
+                    help="use the opt-in Pallas fused peak kernel in the "
+                         "device postprocessing (ops/pallas_kernels.py) — "
+                         "the A/B arm for its keep/drop decision")
     args = ap.parse_args()
 
     config = get_config("Canonical")
@@ -111,7 +115,8 @@ def main():
                  for b in range(2)]
         model, variables = qz.quantize_model(config.model, variables, calib)
         sys.stderr.write("int8 PTQ applied\n")
-    predictor = Predictor(model, variables, config)
+    predictor = Predictor(model, variables, config,
+                          fused_peaks=True if args.fused_peaks else None)
 
     rng = np.random.RandomState(0)
     if args.synthetic_frames:

@@ -166,11 +166,15 @@ class Predictor:
     """Caches one compiled device program per padded input shape."""
 
     def __init__(self, model, variables, config: CanonicalConfig = CanonicalConfig(),
-                 refine: str = "bicubic", suppress_pad_peaks: bool = True):
+                 refine: str = "bicubic", suppress_pad_peaks: bool = True,
+                 fused_peaks: bool | None = None):
         self.model = model
         self.variables = variables
         self.config = config
         self.refine = refine
+        # opt-in single-pass Pallas peak kernel (ops/pallas_kernels.py);
+        # None = find_peaks' default (the unfused XLA path)
+        self.fused_peaks = fused_peaks
         # invalidate peaks that land in the bucket/letterbox pad band (the
         # reference ORIGINAL path's unpad-before-peaks semantics,
         # parse_skeletons.py:272-281); False reproduces the refactor path,
@@ -198,7 +202,7 @@ class Predictor:
         peaks = find_peaks(heat[..., :NUM_PARTS], thre=icfg.thre1,
                            max_peaks=icfg.max_peaks, stride=cfg.stride,
                            refine=refine, content_hw=content_hw,
-                           refine_upsample=refine_up)
+                           refine_upsample=refine_up, fused=self.fused_peaks)
         cand = score_connections(
             paf, peaks.xy, peaks.score, peaks.valid, img_h,
             mid_num=icfg.mid_num, stride=cfg.stride,
