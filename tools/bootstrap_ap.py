@@ -61,7 +61,7 @@ def resample(gt, dets_list, rng):
 
 
 def score(gt, dets):
-    return KeypointEval(gt, dets).run()
+    return KeypointEval(gt, dets).run(print_fn=None)
 
 
 def main(argv=None):
