@@ -232,6 +232,34 @@ class Predictor:
             self._compiled[key] = run
         return self._compiled[key]
 
+    def _device_fn_maps(self, h: int, w: int):
+        """Forward-only program: uint8 padded image -> flip-averaged
+        stride-4 maps (no postprocessing). Used by the split-TTA path
+        (tools/eval_tta_split.py), which mirrors the reference's host
+        scale loop (parse_skeletons.py:186-281) with one plain device
+        program per scaled shape — the robust fallback when a fused
+        multi-scale program exceeds the compile service's appetite."""
+        key = ("maps", h, w)
+        if key not in self._compiled:
+            @jax.jit
+            def run(variables, img_u8):
+                img = img_u8.astype(jnp.float32) / 255.0
+                return self._flip_avg_maps(variables, img[None])[0]
+            self._compiled[key] = run
+        return self._compiled[key]
+
+    def predict_avg_maps(self, img: np.ndarray) -> Tuple[np.ndarray, Tuple[int, int]]:
+        """Host API over ``_device_fn_maps``: BGR uint8 image (any size) ->
+        (flip-averaged stride-4 maps as numpy (ph/4, pw/4, 50),
+        (orig_h, orig_w))."""
+        icfg = self.config.infer
+        padded, (orig_h, orig_w) = pad_image_to_bucket(
+            img, bucket=icfg.max_downsample, pad_value=icfg.pad_value,
+            max_hw=(icfg.img_max_h, icfg.img_max_w))
+        fn = self._device_fn_maps(*padded.shape[:2])
+        maps = fn(self.variables, jnp.asarray(padded))
+        return np.asarray(maps), (orig_h, orig_w)
+
     def _device_fn_tta(self, h: int, w: int, scales: Tuple[float, ...],
                        angles: Tuple[float, ...]):
         """Multi-scale (+rotation) TTA fused into ONE device program: the

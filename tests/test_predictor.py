@@ -184,3 +184,38 @@ def test_batch_tta_matches_single_tta(predictor):
     # public API smoke: scales/angles reach the batched program
     out = predictor.predict_batch(imgs, scales=scales, angles=angles)
     assert len(out) == B
+
+
+def test_split_tta_matches_fused_tta_maps(predictor):
+    """tools/eval_tta_split.py's per-scale host loop (plain programs + cv2
+    map resizes) must reproduce the fused TTA program's averaged maps —
+    the fallback arm used when the fused multi-scale program exceeds the
+    remote compile service's limits. Tolerance covers the split path's
+    uint8 input-resize quantization (the fused program resizes float)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from eval_tta_split import split_tta_maps
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 255, (100, 120, 3), np.uint8)
+    scales = (0.75, 1.0)
+
+    split_avg, _ = split_tta_maps(predictor, img, scales)
+
+    from improved_body_parts_tpu.infer.predict import pad_image_to_bucket
+    padded, (oh, ow) = pad_image_to_bucket(
+        img, bucket=predictor.config.infer.max_downsample,
+        pad_value=predictor.config.infer.pad_value)
+    fn = predictor._device_fn_tta(padded.shape[0], padded.shape[1],
+                                  scales, (0.0,))
+    _, paf, heat = fn(predictor.variables, jnp.asarray(padded),
+                      jnp.float32(oh), jnp.asarray([oh, ow], np.float32))
+    fused_avg = np.concatenate([np.asarray(paf), np.asarray(heat)], axis=-1)
+
+    assert split_avg.shape == fused_avg.shape
+    err = np.abs(split_avg - fused_avg)
+    span = fused_avg.max() - fused_avg.min() + 1e-9
+    assert err.max() / span < 0.05, (err.max(), span)
+    assert err.mean() / span < 0.005, (err.mean(), span)
