@@ -21,9 +21,10 @@ Recipe (standard PTQ, all offline):
 
 Accuracy: the int8 forward is parity-bounded against the BN-folded fp
 forward (tests/test_quantize.py, corr > 0.98 / max error < 15% of fp span,
-same check under a mesh layout in __graft_entry__.dryrun_multichip). The
-measured bf16-vs-int8 synthetic-AP delta and FPS delta on hardware are
-recorded in NOTES.md (round 4).
+same check under a mesh layout in __graft_entry__.dryrun_multichip), and
+measured at the metric level in the round-5 battery (NOTES.md): synthetic
+AP 0.6125 vs 0.6206 bf16 on the 240-scene multi-size set, **ΔAP = -0.0081**
+on trained weights. Hardware FPS for the int8 arm is recorded alongside it.
 """
 
 from __future__ import annotations
